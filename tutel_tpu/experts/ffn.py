@@ -1,0 +1,102 @@
+"""Batched per-expert two-layer FFN (reference: tutel/experts/ffn.py:7-124).
+
+Expert protocol (mirroring reference moe_layer.py:250-253): an expert owns
+`init(key, dtype) -> params` and `apply(params, x, ctx) -> y` where
+x is [E_local, rows, model_dim] and ctx carries per-call dynamic state
+(megablocks_size, dispatch_count, adaptive_degree, sharded_count ...).
+
+TPU-first layout: weights are stored input-major —
+fc1_w [E, M, H], fc2_w [E, H, O] — so the expert matmuls are plain einsums
+that XLA tiles straight onto the MXU (the reference stores [E, H, M] and
+permutes per call, ffn.py:114).
+
+When `ctx.megablocks_size > 0` and per-expert token counts are available,
+the dropless grouped-GEMM path in ops/grouped_gemm.py is used instead of the
+dense batched matmul (reference ffn.py:70-81 + custom_kernel.cpp:874-889).
+"""
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import initializers
+
+
+@dataclasses.dataclass
+class FusedExpertsNetwork:
+    model_dim: int
+    hidden_size_per_expert: int
+    num_experts_per_device: int = 1
+    sharded_count: int = 1
+    activation_fn: Optional[Callable] = None
+    output_dim: Optional[int] = None
+    has_fc1_bias: bool = True
+    has_fc2_bias: bool = True
+
+    def __post_init__(self):
+        assert self.hidden_size_per_expert % self.sharded_count == 0, (
+            f"Can't evenly divide hidden_size_per_expert "
+            f"({self.hidden_size_per_expert}) to {self.sharded_count} slices.")
+        # Hidden dim owned by this shard (expert-slicing model parallelism,
+        # reference ffn.py:16).
+        self.hidden_size = self.hidden_size_per_expert // self.sharded_count
+        self.output_dim = self.output_dim or self.model_dim
+        if self.activation_fn is None:
+            self.activation_fn = jax.nn.relu
+
+    def init(self, key, dtype=jnp.float32) -> Dict[str, Any]:
+        e, m, h, o = (self.num_experts_per_device, self.model_dim,
+                      self.hidden_size, self.output_dim)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        params = {
+            "fc1_w": initializers.linear_uniform(k1, (e, m, h), fan_in=m,
+                                                 dtype=dtype),
+            "fc2_w": initializers.linear_uniform(k2, (e, h, o), fan_in=h,
+                                                 dtype=dtype),
+        }
+        if self.has_fc1_bias:
+            params["fc1_b"] = initializers.linear_uniform(
+                k3, (e, h), fan_in=m, dtype=dtype)
+        if self.has_fc2_bias:
+            # fc2 bias is sharded over sharded_count (reference ffn.py:33).
+            ob = (o + self.sharded_count - 1) // self.sharded_count
+            params["fc2_b"] = initializers.linear_uniform(
+                k4, (e, ob), fan_in=h, dtype=dtype)
+        return params
+
+    def apply(self, params, x, ctx=None):
+        """x: [E_local, rows, M] -> [E_local, rows, output_dim]."""
+        fc1_w, fc2_w = params["fc1_w"], params["fc2_w"]
+        fc1_b = params.get("fc1_b")
+        fc2_b = params.get("fc2_b")
+
+        if ctx is not None and getattr(ctx, "megablocks_size", 0) > 0:
+            from ..ops import grouped_gemm
+            return grouped_gemm.megablocks_ffn(
+                x, params, ctx, activation_fn=self.activation_fn,
+                output_dim=self.output_dim)
+
+        y = jnp.einsum("ecm,emh->ech", x, fc1_w.astype(x.dtype),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        if fc1_b is not None:
+            y = y + fc1_b.astype(y.dtype)[:, None, :]
+        y = self.activation_fn(y)
+        y = jnp.einsum("ech,eho->eco", y, fc2_w.astype(y.dtype),
+                       preferred_element_type=jnp.float32).astype(y.dtype)
+        if fc2_b is not None:
+            bias = fc2_b.astype(y.dtype)[:, None, :]
+            if bias.shape[-1] != self.output_dim:
+                pad = self.output_dim - bias.shape[-1]
+                bias = jnp.pad(bias, ((0, 0), (0, 0), (0, pad)))
+            if ctx is not None and getattr(ctx, "adaptive_degree", 1) > 1:
+                # Partial sums over adaptive_degree replicas each add the
+                # bias once; pre-scale so the total matches one bias add
+                # (reference ffn.py:108-109).
+                bias = bias / ctx.adaptive_degree
+            y = y + bias
+        return y
+
+
+ExpertModule = FusedExpertsNetwork

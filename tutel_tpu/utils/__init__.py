@@ -1,0 +1,1 @@
+from . import initializers  # noqa: F401
