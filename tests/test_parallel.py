@@ -1,0 +1,139 @@
+"""Parallelism invariance tests on an 8-device virtual CPU mesh.
+
+TPU analogue of the reference's multi-process equivalence tests
+(reference tests/test_tutel.py:154-209): data-parallel == model-parallel,
+overlap-degree invariance, 2DH == flat all-to-all, adaptive-r invariance,
+EP == single-device math.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tutel_tpu import moe
+
+
+def _make_layer(num_local_experts, parallel_type="adaptive:1", top_k=2,
+                use_2dh=False, num_hosts=None, overlap=1, capacity_factor=1.0,
+                model_dim=16, hidden=32):
+    return moe.moe_layer(
+        gate_type={"type": "top", "k": top_k,
+                   "capacity_factor": capacity_factor},
+        experts={"type": "ffn", "num_experts_per_device": num_local_experts,
+                 "hidden_size_per_expert": hidden},
+        model_dim=model_dim,
+        parallel_type=parallel_type,
+        use_2dh=use_2dh,
+        num_hosts=num_hosts,
+        a2a_ffn_overlap_degree=overlap,
+        seeds=(1, 1, 1),
+    )
+
+
+@pytest.fixture(scope="module")
+def x():
+    return jax.random.normal(jax.random.PRNGKey(1), (8, 32, 16))
+
+
+def _outputs(layer, x, **kwargs):
+    params = layer.shard_params(layer.init(jax.random.PRNGKey(0)))
+    y, l_aux = layer(params, x, **kwargs)
+    return np.asarray(y), float(l_aux)
+
+
+def test_data_equals_model_parallel(x):
+    """reference test_compare_data_model_parallel (test_tutel.py:154-159)."""
+    y_data, l_data = _outputs(_make_layer(-2, parallel_type="data"), x)
+    y_model, l_model = _outputs(_make_layer(-2, parallel_type="model"), x)
+    np.testing.assert_allclose(y_data, y_model, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(l_data, l_model, rtol=1e-5)
+
+
+def test_adaptive_r_invariance(x):
+    layer = _make_layer(-4, parallel_type="adaptive:1")
+    params = layer.shard_params(layer.init(jax.random.PRNGKey(0)))
+    ref, _ = layer(params, x)
+    for r in (0, 2, 4):
+        yr, _ = layer(params, x, adaptive_r=r)
+        np.testing.assert_allclose(np.asarray(yr), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"r={r}")
+
+
+def test_overlap_degree_invariance(x):
+    """reference test_a2a_ffn_overlap (test_tutel.py:161-176)."""
+    for nle in (-2, 1, 2):
+        y1, _ = _outputs(_make_layer(nle, overlap=1), x)
+        y2, _ = _outputs(_make_layer(nle, overlap=2), x)
+        np.testing.assert_allclose(y1, y2, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"num_local_experts={nle}")
+
+
+def test_2dh_equals_flat_a2a(x):
+    """reference test_a2a_algos (test_tutel.py:178-209): TUTEL_ALLTOALL_ALGO
+    2D vs LINEAR produce identical results."""
+    for hosts in (2, 4):
+        y_flat, l_flat = _outputs(_make_layer(1, use_2dh=False), x)
+        y_2dh, l_2dh = _outputs(
+            _make_layer(1, use_2dh=True, num_hosts=hosts), x)
+        np.testing.assert_allclose(y_flat, y_2dh, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"hosts={hosts}")
+        np.testing.assert_allclose(l_flat, l_2dh, rtol=1e-5)
+
+
+def test_ep_matches_single_device_math(x):
+    """8-device EP must equal a single-device run of the same global model
+    when every shard routes identically (same per-shard capacity)."""
+    # Single device over the full batch, with capacity forced to the
+    # per-shard value by choosing capacity_factor so both agree: use a
+    # dropless run (capacity covers everything) to remove drop differences.
+    layer8 = _make_layer(1, capacity_factor=0.0)   # 8 experts, dropless
+    params8 = layer8.shard_params(layer8.init(jax.random.PRNGKey(0)))
+    y8, _ = layer8(params8, x)
+
+    layer1 = moe.moe_layer(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 0.0},
+        experts={"type": "ffn", "num_experts_per_device": 8,
+                 "hidden_size_per_expert": 32},
+        model_dim=16, seeds=(1, 1, 1), group=[jax.devices()[0]])
+    params1 = layer1.init(jax.random.PRNGKey(0))
+    y1, _ = layer1(params1, x)
+
+    np.testing.assert_allclose(np.asarray(y8), np.asarray(y1),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_dropless_equals_padded_at_full_capacity(x):
+    layer = _make_layer(2, capacity_factor=0.0)
+    params = layer.shard_params(layer.init(jax.random.PRNGKey(0)))
+    y_dropless, _ = layer(params, x)
+    # capacity_factor big enough to avoid any drop
+    y_padded, _ = layer(params, x, capacity_factor=16.0)
+    np.testing.assert_allclose(np.asarray(y_dropless), np.asarray(y_padded),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_capped_dropless(x):
+    layer = _make_layer(2, capacity_factor=-1.0)
+    params = layer.shard_params(layer.init(jax.random.PRNGKey(0)))
+    y, l_aux = layer(params, x)
+    assert y.shape == x.shape and np.isfinite(l_aux)
+
+
+def test_no_recompile_on_dynamic_switching(x):
+    """Switching capacity_factor / top_k / r across already-seen values must
+    reuse cached executables (Tutel's no-penalty dynamic switching,
+    README.md:64-74)."""
+    layer = _make_layer(-4)
+    params = layer.shard_params(layer.init(jax.random.PRNGKey(0)))
+    # adaptive_r is sticky across calls (reference moe_layer.py:329-330),
+    # so pin it explicitly in every combo.
+    combos = [dict(top_k=1, adaptive_r=1), dict(top_k=2, adaptive_r=1),
+              dict(capacity_factor=2.0, adaptive_r=1),
+              dict(adaptive_r=2), dict(adaptive_r=4)]
+    for kw in combos:
+        layer(params, x, **kw)
+    n_variants = len(layer._jit_cache)
+    for kw in combos:  # second pass: all hits
+        layer(params, x, **kw)
+    assert len(layer._jit_cache) == n_variants

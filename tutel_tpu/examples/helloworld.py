@@ -1,0 +1,161 @@
+"""Single-file MoE training benchmark (reference:
+tutel/examples/helloworld.py).
+
+Same model: a single MoE layer; loss = nll(log_softmax(sum(y, -1)), 0) over
+the token axis; SGD(lr=1e-5); fixed seeds; per-step loss / step_time /
+TFLOPS printout with the reference's formula (helloworld.py:149-150).
+
+Run:  python -m tutel_tpu.examples.helloworld --batch_size 16
+          --num_tokens 1024 --model_dim 2048 --hidden_size 2048
+          --num_local_experts 2 --dtype float32 --top 2 [--device cpu]
+"""
+
+import argparse
+import sys
+import time
+
+
+def build_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--num_tokens", type=int, default=512)
+    parser.add_argument("--model_dim", type=int, default=2048)
+    parser.add_argument("--hidden_size", type=int, default=2048)
+    parser.add_argument("--num_local_experts", type=int, default=2)
+    parser.add_argument("--dtype", type=str, default="float32")
+    parser.add_argument("--fp32_gate", default=False, action="store_true")
+    parser.add_argument("--top", type=int, default=2)
+    parser.add_argument("--l_aux_wt", type=float, default=0.0)
+    parser.add_argument("--a2a_ffn_overlap_degree", type=int, default=1)
+    parser.add_argument("--num_steps", type=int, default=100)
+    parser.add_argument("--parallel_type", type=str, default="adaptive:1")
+    parser.add_argument("--checkpoint_path", type=str, default="")
+    parser.add_argument("--device", type=str, default="")
+    parser.add_argument("--use_2dh", default=False, action="store_true")
+    parser.add_argument("--eval", default=False, action="store_true")
+    parser.add_argument("--capacity_factor", type=float, default=1.0)
+    parser.add_argument("--megablocks_size", type=int, default=0)
+    parser.add_argument("--expert_type", type=str, default="ffn")
+    parser.add_argument("--num_devices", type=int, default=0)
+    return parser.parse_args(argv)
+
+
+def run(args, log=print):
+    """Build the model and run the training loop; returns per-step losses."""
+    import jax
+    if args.device == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
+    import jax.numpy as jnp
+    from tutel_tpu import moe, system
+
+    dtype = {"float32": jnp.float32, "float64": jnp.float64,
+             "float16": jnp.float16, "bfloat16": jnp.bfloat16}[args.dtype]
+    if dtype == jnp.float64:
+        jax.config.update("jax_enable_x64", True)
+
+    devices = jax.devices()
+    if args.num_devices:
+        devices = devices[:args.num_devices]
+    env = system.init_data_model_parallel(devices=devices)
+
+    layer = moe.moe_layer(
+        gate_type={"type": "top", "k": args.top, "fp32_gate": args.fp32_gate,
+                   "capacity_factor": args.capacity_factor},
+        experts={"type": args.expert_type,
+                 "num_experts_per_device": args.num_local_experts,
+                 "hidden_size_per_expert": args.hidden_size},
+        model_dim=args.model_dim,
+        seeds=(1, 1, 1),
+        a2a_ffn_overlap_degree=args.a2a_ffn_overlap_degree,
+        parallel_type=args.parallel_type,
+        use_2dh=args.use_2dh,
+        dtype=dtype,
+        group=env,
+    )
+    params = layer.shard_params(layer.init(jax.random.PRNGKey(1)))
+
+    num_global_experts = layer.num_global_experts
+    local_count = sum(int(p.size) for _, p in
+                      layer.get_parameter_iterator(params, "local_experts"))
+    shared_count = sum(int(p.size) for _, p in
+                       layer.get_parameter_iterator(params, "gate"))
+    log("[Statistics] param count for MoE local_experts = %s, "
+        "param count for MoE gate = %s." % (local_count, shared_count))
+
+    x = jax.random.normal(jax.random.PRNGKey(0),
+                          (args.batch_size, args.num_tokens, args.model_dim),
+                          dtype=jnp.float32).astype(dtype)
+    y_label = jnp.zeros((args.batch_size,), dtype=jnp.int32)
+
+    def loss_fn(params, x, key):
+        out, l_aux = layer(params, x, key=key, training=not args.eval,
+                           megablocks_size=args.megablocks_size)
+        logits = jax.nn.log_softmax(
+            jnp.sum(out.astype(jnp.float32), axis=2), axis=1)
+        loss = -jnp.mean(logits[jnp.arange(logits.shape[0]), y_label])
+        if args.l_aux_wt:
+            loss = loss + args.l_aux_wt * l_aux
+        return loss
+
+    lr = 1e-5
+
+    @jax.jit
+    def train_step(params, x, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, key)
+        new_params = jax.tree.map(lambda p, g: p - lr * g.astype(p.dtype),
+                                  params, grads)
+        return new_params, loss
+
+    @jax.jit
+    def eval_step(params, x, key):
+        return loss_fn(params, x, key)
+
+    tuples = (env.global_size, args.dtype, args.model_dim, args.hidden_size,
+              args.batch_size * args.num_tokens, args.num_local_experts,
+              args.top, args.a2a_ffn_overlap_degree, args.parallel_type,
+              devices[0].platform)
+    log("[Benchmark] world_size = %s, dtype = %s, model_dim = %s, "
+        "hidden_size = %s, samples = %s, num_local_experts = %s, topK = %s, "
+        "a2a_ffn_overlap_degree = %s, parallel_type = `%s`, device = `%s`"
+        % tuples)
+
+    average_time, losses = 0.0, []
+    key = jax.random.PRNGKey(1)
+    for i in range(args.num_steps):
+        key, step_key = jax.random.split(key)
+        t_start = time.perf_counter()
+        if args.eval:
+            loss = eval_step(params, x, step_key)
+            jax.block_until_ready(loss)
+        else:
+            params, loss = train_step(params, x, step_key)
+            jax.block_until_ready(loss)
+        t_stop = time.perf_counter()
+
+        mm_ceof = 1 if args.eval else 3
+        cap_ceof = min(args.top, num_global_experts)
+        step_time = t_stop - t_start
+        tflops = (args.batch_size * args.num_tokens * args.model_dim *
+                  args.hidden_size) * 4 * mm_ceof * cap_ceof * 1e-12 / step_time
+        loss_f = float(loss)
+        losses.append(loss_f)
+        log("STEP-%s: loss = %.5f, step_time = %.6f sec, perf = %.2f tflops."
+            % (i, loss_f, step_time, tflops))
+        if i + 10 >= args.num_steps:
+            average_time += step_time
+
+    average_time /= min(10, args.num_steps)
+    log("\n[Summary] Average synchronized step_time = %s sec." % average_time)
+    return losses, average_time
+
+
+def main():
+    args = build_args()
+    run(args)
+
+
+if __name__ == "__main__":
+    main()

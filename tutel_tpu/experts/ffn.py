@@ -90,11 +90,9 @@ class FusedExpertsNetwork:
             if bias.shape[-1] != self.output_dim:
                 pad = self.output_dim - bias.shape[-1]
                 bias = jnp.pad(bias, ((0, 0), (0, 0), (0, pad)))
-            if ctx is not None and getattr(ctx, "adaptive_degree", 1) > 1:
-                # Partial sums over adaptive_degree replicas each add the
-                # bias once; pre-scale so the total matches one bias add
-                # (reference ffn.py:108-109).
-                bias = bias / ctx.adaptive_degree
+            # Note: when adaptive_r > 1 the r partial-sum replicas each add
+            # this bias once; the MoE layer pre-scales the gathered bias by
+            # 1/r (reference ffn.py:108-109) before it reaches here.
             y = y + bias
         return y
 

@@ -1,0 +1,693 @@
+"""The MoE layer orchestrator.
+
+TPU-native re-design of the reference's MOELayer
+(reference: tutel/impls/moe_layer.py:42-365). Same capability surface:
+
+  * expert-count math incl. fractional experts (`num_local_experts=-r`)
+  * parallel modes: data / model / auto / adaptive:r, switchable per call
+  * per-call dynamic overrides: capacity_factor, top_k,
+    a2a_ffn_overlap_degree, adaptive_r, megablocks_size, gate_index
+  * capacity modes: padded (cf>0), dropless (cf==0), capped dropless (cf<0)
+  * multiple gates, pluggable experts, postscore/prescore, batch-prioritized
+    routing, gshard / load-importance losses
+
+Architecture (TPU-first, not a port):
+
+  * One *global-arrays* API: params and activations are global jax arrays;
+    parallelism is a `shard_map` over a ('e', 'r', 'g') mesh
+    (parallel/mesh.py) with `lax.all_to_all` on the expert/capacity dims —
+    the XLA equivalent of the reference's NCCL a2a on dims (1, 0)
+    (reference moe_layer.py:349-351).
+  * Dynamic switching without recompilation penalty: every combination of
+    static knobs (top_k, capacity bucket, r, overlap degree, ...) is a
+    cached compiled variant; data-dependent capacities (dropless modes) are
+    resolved by a tiny cached "count" program + host rounding to an
+    alignment bucket, then dispatched to the matching variant. Tutel gets
+    this from eager execution; here the variant cache is the mechanism
+    (SURVEY.md section 7, step 8).
+"""
+
+import dataclasses
+import math
+from types import SimpleNamespace
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import net
+from ..ops import dispatch as dispatch_ops
+from ..ops import losses as losses_ops
+from ..ops import routing as routing_ops
+from ..parallel import mesh as mesh_lib
+from .. import gates as gates_registry
+from .. import experts as experts_registry
+
+
+def _lcm(a, b):
+    return a * b // math.gcd(a, b)
+
+
+@dataclasses.dataclass(frozen=True)
+class _VariantCfg:
+    """Static configuration of one compiled forward variant."""
+    gate_index: int
+    top_k: int
+    capacity: int
+    adaptive_r: int            # 0 = data-parallel experts (no a2a)
+    overlap_degree: int
+    megablocks_size: int
+    training: bool
+    use_2dh: bool
+    batch_prioritized: bool
+
+
+class MOELayer:
+    """Tutel-capability MoE layer for JAX/TPU."""
+
+    @staticmethod
+    def global_expert_count(num_local_experts, world_size=1):
+        """reference moe_layer.py:45-55 incl. the fractional float form."""
+        if not isinstance(num_local_experts, int):
+            num_local_experts = -int(1 / (num_local_experts + 1e-5))
+        if num_local_experts == 0:
+            raise Exception(
+                "Invalid value of num_local_experts: %d" % num_local_experts)
+        if num_local_experts > 0:
+            return num_local_experts * world_size
+        assert world_size % -num_local_experts == 0, (
+            f"Excepting {-num_local_experts} devices to share an expert "
+            f"param, while global device count is {world_size}.")
+        return world_size // -num_local_experts
+
+    def __init__(
+        self,
+        gate_type,
+        model_dim: int,
+        experts=None,
+        scan_expert_func=None,
+        result_func=None,
+        group=None,                      # device sequence or ParallelEnv
+        seeds=None,
+        a2a_ffn_overlap_degree=1,
+        is_postscore=True,
+        batch_prioritized_routing=False,
+        normalize_gate=True,
+        is_gshard_loss=True,
+        parallel_type="adaptive:1",
+        use_2dh=False,
+        dtype=jnp.float32,
+        capacity_bucket: int = 0,        # extra capacity rounding quantum
+        num_hosts: Optional[int] = None, # dcn axis size for use_2dh
+        **kwargs,
+    ):
+        assert model_dim % 2 == 0, (
+            "Model_dim (%s) must be even value." % model_dim)
+        for k in kwargs:
+            raise Exception(
+                "Unrecognized argument provided to Tutel-TPU Moe-layer: %s" % k)
+
+        # --- devices / world ------------------------------------------------
+        if group is None:
+            self.devices = tuple(jax.devices())
+        elif hasattr(group, "devices"):
+            self.devices = tuple(group.devices)
+        else:
+            self.devices = tuple(group)
+        self.world_size = len(self.devices)
+
+        self.result_func = result_func
+        self.model_dim = model_dim
+        self.is_postscore = is_postscore
+        self.batch_prioritized_routing = batch_prioritized_routing
+        self.normalize_gate = normalize_gate
+        self.is_gshard_loss = is_gshard_loss
+        self.a2a_ffn_overlap_degree = a2a_ffn_overlap_degree
+        self.use_2dh = use_2dh
+        self.dtype = dtype
+        self.capacity_bucket = capacity_bucket
+        self.num_hosts = num_hosts or mesh_lib.infer_num_hosts(self.devices)
+
+        # --- expert-count math (reference moe_layer.py:116-129) -------------
+        experts = dict(experts or {})
+        self.num_local_experts = experts.pop(
+            "count_per_node", experts.pop("num_experts_per_device", 1))
+        if self.num_local_experts == -1:
+            self.num_local_experts = 1
+        self.num_global_experts = MOELayer.global_expert_count(
+            self.num_local_experts, self.world_size)
+        if self.num_global_experts < self.world_size:
+            self.sharded_count = self.world_size // self.num_global_experts
+            self.num_local_experts = 1
+        else:
+            self.sharded_count = 1
+        self.auto_parallel, self.adaptive_degree = False, self.sharded_count
+        self.valid_rs = [0] + [i for i in range(1, self.sharded_count + 1)
+                               if self.sharded_count % i == 0]
+
+        if parallel_type.startswith("adaptive:"):
+            self.adaptive_degree = int(parallel_type.split(":", 1)[1])
+            self.adaptive_degree = min(max(self.adaptive_degree, 0),
+                                       self.sharded_count)
+            if self.adaptive_degree not in self.valid_rs:
+                raise Exception(
+                    "Unexpected value of adaptive_degree: %d, expecting a "
+                    "candidate within %s." % (self.adaptive_degree,
+                                              self.valid_rs))
+        elif self.sharded_count == 1:
+            pass
+        elif parallel_type in ("data", "model"):
+            self.adaptive_degree = (1 if parallel_type == "data"
+                                    else self.sharded_count)
+        elif parallel_type == "auto":
+            self.auto_parallel, self.adaptive_degree = True, 1
+        else:
+            raise Exception(
+                "Unrecognized parallel type specified: %s" % parallel_type)
+
+        # --- experts ---------------------------------------------------------
+        experts_type = experts.pop("type")
+        extra = dict(experts)
+        if experts_type == "custom":
+            expert_cls = extra.pop("module")
+        else:
+            expert_cls = experts_registry.resolve(experts_type)
+        # Local-view module (what runs on each device) and a global-view
+        # module (used for parameter init and checkpoints).
+        self.experts = expert_cls(
+            model_dim=self.model_dim,
+            num_experts_per_device=self.num_local_experts,
+            sharded_count=self.sharded_count, **extra)
+        self.experts_global = expert_cls(
+            model_dim=self.model_dim,
+            num_experts_per_device=self.num_global_experts,
+            sharded_count=1, **extra)
+        self.scan_expert_func = scan_expert_func
+
+        # --- gates (reference moe_layer.py:197-230) --------------------------
+        if isinstance(gate_type, str):
+            import re
+            assert re.match(r"^Top[0-9]+Gate$", gate_type), (
+                "Unrecognized gate_type: %s" % gate_type)
+            gate_type = {"type": "top", "k": int(gate_type[3:-4])}
+        if not isinstance(gate_type, list):
+            gate_type = [gate_type]
+        self.gates = []
+        for single in gate_type:
+            single = dict(single)
+            g_type = single.pop("type")
+            if g_type == "custom":
+                gate_cls = single.pop("module")
+            else:
+                gate_cls = gates_registry.resolve(g_type)
+            self.gates.append(gate_cls(
+                model_dim=self.model_dim,
+                num_global_experts=self.num_global_experts, **single))
+
+        self.seeds = seeds
+        self._jit_cache: Dict[Any, Any] = {}
+        self._count_cache: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------------
+    # Parameters
+    # ------------------------------------------------------------------
+
+    def init(self, key=None) -> Dict[str, Any]:
+        """Create global-shape parameters.
+
+        Expert params have the *global* logical shape (e.g. fc1_w
+        [E_global, M, H_full]); sharding is declarative via
+        `shard_params`. Gate params are replicated.
+        """
+        if key is None:
+            seeds = self.seeds or (1, 1, 1)
+            gate_key = jax.random.PRNGKey(seeds[0] if seeds[0] is not None else 1)
+            expert_key = jax.random.PRNGKey(seeds[1] if seeds[1] is not None else 1)
+        else:
+            gate_key, expert_key = jax.random.split(key)
+        gate_params = []
+        for gi, gate in enumerate(self.gates):
+            gate_params.append(gate.init(jax.random.fold_in(gate_key, gi),
+                                         dtype=self.dtype))
+        expert_params = self.experts_global.init(expert_key, dtype=self.dtype)
+        if self.scan_expert_func is not None:
+            for name, p in expert_params.items():
+                self.scan_expert_func(name, p)
+        return {"gates": gate_params, "experts": expert_params}
+
+    def _expert_shard_axes(self):
+        """param name -> (expert_dim, shard_dim) for the expert params."""
+        default = {
+            "fc1_w": (0, 2), "fc1_b": (0, 1),
+            "fc2_w": (0, 1), "fc2_b": (0, 1),
+            "w1": (0, 2), "w2": (0, 2), "w3": (0, 1),
+        }
+        return getattr(self.experts, "shard_axes", lambda: default)() \
+            if hasattr(self.experts, "shard_axes") else default
+
+    def _expert_specs(self, ep_axes):
+        """PartitionSpecs for expert params on the current mesh."""
+        shard_axes = self._expert_shard_axes()
+        specs = {}
+        for name, (e_dim, s_dim) in shard_axes.items():
+            spec = [None, None, None, None]
+            if self.sharded_count == 1:
+                spec[e_dim] = ep_axes  # experts sharded over the whole world
+            else:
+                spec[e_dim] = "e"
+                if s_dim is not None:
+                    spec[s_dim] = ("r", "g")
+            specs[name] = P(*spec[:4])
+        return specs
+
+    def _gate_param_struct(self, params):
+        return [jax.tree.map(lambda _: P(), g) for g in params["gates"]]
+
+    def shard_params(self, params, adaptive_r=None):
+        """Place params on the mesh with their canonical shardings."""
+        if self.world_size == 1:
+            return params
+        mesh = self._mesh(adaptive_r if adaptive_r is not None
+                          else max(self.adaptive_degree, 1))
+        ep_axes = self._ep_axes()
+        especs = self._expert_specs(ep_axes)
+        out = dict(params)
+        out["experts"] = {
+            k: jax.device_put(v, NamedSharding(mesh, P(*especs[k][:v.ndim])))
+            for k, v in params["experts"].items()}
+        out["gates"] = [
+            jax.tree.map(lambda v: jax.device_put(
+                v, NamedSharding(mesh, P())), g)
+            for g in params["gates"]]
+        return out
+
+    # ------------------------------------------------------------------
+    # Mesh plumbing
+    # ------------------------------------------------------------------
+
+    def _ep_axes(self):
+        return ("dcn", "ici") if self._flat_2dh() else ("e", "r", "g")
+
+    def _flat_2dh(self):
+        return self.use_2dh and self.sharded_count == 1
+
+    def _mesh(self, adaptive_r):
+        import numpy as np
+        if self._flat_2dh():
+            arr = np.asarray(self.devices, dtype=object).reshape(
+                self.num_hosts, self.world_size // self.num_hosts)
+            return Mesh(arr, ("dcn", "ici"))
+        r = max(adaptive_r, 1)
+        g = self.sharded_count // r
+        arr = np.asarray(self.devices, dtype=object).reshape(
+            self.world_size // self.sharded_count, r, g)
+        return Mesh(arr, ("e", "r", "g"))
+
+    # ------------------------------------------------------------------
+    # Capacity / alignment math (reference moe_layer.py:298-301,
+    # fast_dispatch.py:188-199)
+    # ------------------------------------------------------------------
+
+    def _alignment(self, overlap_degree, megablocks_size):
+        mega_up = max(megablocks_size, 1)
+        base = self.sharded_count * overlap_degree
+        alignment = (base + mega_up - 1) // mega_up * mega_up
+        if alignment > 256:
+            alignment = (alignment + 127) // 128 * 128
+        # The reshape/chunk steps need capacity % (sharded*degree) == 0; the
+        # reference asserts this at overlap time (overlap.py:10-11), we bake
+        # it into the rounding quantum.
+        alignment = _lcm(alignment, base)
+        if self.capacity_bucket:
+            alignment = _lcm(alignment, self.capacity_bucket)
+        return alignment
+
+    def _static_capacity(self, local_samples, top_k, capacity_factor,
+                         overlap_degree, megablocks_size):
+        alignment = self._alignment(overlap_degree, megablocks_size)
+        return routing_ops.compute_static_capacity(
+            local_samples, self.num_global_experts, top_k, capacity_factor,
+            alignment=alignment)
+
+    # ------------------------------------------------------------------
+    # Forward
+    # ------------------------------------------------------------------
+
+    def __call__(self, params, x, key=None, gate_index=0,
+                 capacity_factor=None, top_k=None,
+                 a2a_ffn_overlap_degree=None, reserve_dims=1,
+                 inequivalent_tokens=False, adaptive_r=None,
+                 megablocks_size=0, training=False, capacity_override=None):
+        """Forward pass. Returns (output, l_aux).
+
+        Mirrors the reference forward's per-call dynamic arguments
+        (reference moe_layer.py:255). All of them resolve to a static
+        variant key; switching between previously seen values costs a dict
+        lookup (no recompilation).
+
+        Dropless modes (capacity_factor <= 0) resolve the data-dependent
+        capacity with a tiny cached count program + host sync (the same
+        sync Tutel pays, fast_dispatch.py:191-193). Inside an enclosing
+        `jax.jit` trace no host sync is possible, so the layer falls back
+        to the worst-case capacity (top_k * local tokens, always lossless);
+        pass `capacity_override` (from `resolve_capacity`, bucketed) to keep
+        tight buffers under an outer jit.
+        """
+        gate = self.gates[gate_index]
+        if a2a_ffn_overlap_degree is not None:
+            self.a2a_ffn_overlap_degree = a2a_ffn_overlap_degree
+        overlap_degree = self.a2a_ffn_overlap_degree
+        top_k = int(top_k or gate.top_k)
+        top_k = min(top_k, self.num_global_experts)
+        if adaptive_r is not None:
+            self.adaptive_degree = adaptive_r
+        r = self.adaptive_degree
+        assert r in self.valid_rs, (
+            f"adaptive_r={r} not within valid candidates {self.valid_rs}")
+
+        if megablocks_size > 0:
+            # reference moe_layer.py:278-280: megablocks is a single-device
+            # multi-local-expert inference optimization.
+            if self.num_local_experts <= 1 or training or self.world_size > 1:
+                megablocks_size = 0
+
+        cf = capacity_factor if capacity_factor is not None \
+            else gate.capacity_factor
+
+        original_shape = x.shape
+        assert len(original_shape) >= 2, (
+            "Input data must be at least 2D tensor: (s)amples, .., "
+            "(m)odel_dim")
+        reserve_shape = original_shape[-reserve_dims:]
+        flat_m = 1
+        for d in reserve_shape:
+            flat_m *= int(d)
+        x2 = x.reshape(-1, flat_m).astype(self.dtype)
+        num_samples = x2.shape[0]
+        assert num_samples % self.world_size == 0, (
+            f"global token count {num_samples} must divide the "
+            f"{self.world_size}-device world")
+        local_samples = num_samples // self.world_size
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        # --- resolve static capacity -----------------------------------
+        alignment = self._alignment(overlap_degree, megablocks_size)
+        if capacity_override is not None:
+            capacity = routing_ops.align_capacity(
+                int(capacity_override), alignment)
+        elif cf > 0:
+            capacity = self._static_capacity(
+                local_samples, top_k, cf, overlap_degree, megablocks_size)
+        elif isinstance(x, jax.core.Tracer):
+            # Enclosing jit: no host sync available; use the lossless
+            # worst case (every local token lands on one expert).
+            capacity = local_samples
+            if cf < 0:
+                capacity = min(capacity, routing_ops.capped_capacity_limit(
+                    local_samples, self.num_global_experts, top_k, cf))
+            capacity = routing_ops.align_capacity(capacity, alignment)
+        else:
+            needed = int(self._count_forward(
+                params, x2, key, gate_index, top_k, training))
+            capacity = max(1, needed)
+            if cf < 0:
+                capacity = min(capacity, routing_ops.capped_capacity_limit(
+                    local_samples, self.num_global_experts, top_k, cf))
+            capacity = routing_ops.align_capacity(capacity, alignment)
+        capacity = min(capacity,
+                       routing_ops.align_capacity(
+                           top_k * local_samples,
+                           self._alignment(overlap_degree, megablocks_size)))
+
+        cfg = _VariantCfg(
+            gate_index=gate_index, top_k=top_k, capacity=capacity,
+            adaptive_r=r, overlap_degree=overlap_degree,
+            megablocks_size=megablocks_size, training=training,
+            use_2dh=self._flat_2dh(),
+            batch_prioritized=self.batch_prioritized_routing)
+
+        fn = self._jit_cache.get(cfg)
+        if fn is None:
+            fn = jax.jit(self._build_forward(cfg))
+            self._jit_cache[cfg] = fn
+        out, l_aux = fn(params, x2, key)
+        out = out.reshape(*original_shape[:-reserve_dims],
+                          *reserve_shape[:-1], -1)
+        if self.result_func is not None:
+            out = self.result_func(out)
+        return out, l_aux
+
+    # alias matching reference naming
+    forward = __call__
+
+    def resolve_capacity(self, params, x, key=None, gate_index=0, top_k=None,
+                         training=False, reserve_dims=1,
+                         a2a_ffn_overlap_degree=None, megablocks_size=0):
+        """Host-side dropless capacity query (bucketed to the alignment
+        quantum). Use the result as `capacity_override` inside an enclosing
+        jit to keep dropless buffers tight."""
+        gate = self.gates[gate_index]
+        top_k = min(int(top_k or gate.top_k), self.num_global_experts)
+        flat_m = 1
+        for d in x.shape[-reserve_dims:]:
+            flat_m *= int(d)
+        x2 = x.reshape(-1, flat_m).astype(self.dtype)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        needed = int(self._count_forward(
+            params, x2, key, gate_index, top_k, training))
+        alignment = self._alignment(
+            a2a_ffn_overlap_degree or self.a2a_ffn_overlap_degree,
+            megablocks_size)
+        return routing_ops.align_capacity(max(1, needed), alignment)
+
+    # ------------------------------------------------------------------
+    # Compiled-variant builders
+    # ------------------------------------------------------------------
+
+    def _routing_local(self, cfg: _VariantCfg, gate_params, x_local, key):
+        """Per-device routing: logits -> noised scores -> extract_critical."""
+        gate = self.gates[cfg.gate_index]
+        logits = gate.apply(gate_params, x_local)
+        if cfg.training and gate.gate_noise > 0:
+            noise = jax.random.normal(key, logits.shape, dtype=logits.dtype)
+            logits_w_noise = logits + gate.gate_noise * noise \
+                / self.num_global_experts
+        else:
+            logits_w_noise = logits
+        scores = jax.nn.softmax(logits_w_noise, axis=1)
+        if self.is_gshard_loss:
+            loss_fn = losses_ops.gshard_loss
+        else:
+            def loss_fn(s, topk_ids):
+                return losses_ops.load_importance_loss(
+                    jax.nn.softmax(logits, axis=1),
+                    jnp.take_along_axis(logits_w_noise, topk_ids, axis=1),
+                    self.num_global_experts, gate.gate_noise)
+        return routing_ops.extract_critical(
+            scores, cfg.top_k, capacity=cfg.capacity, loss_fn=loss_fn,
+            batch_prioritized_routing=cfg.batch_prioritized,
+            normalize_gate=self.normalize_gate)
+
+    def _expert_ctx(self, cfg: _VariantCfg, crit):
+        return SimpleNamespace(
+            megablocks_size=cfg.megablocks_size,
+            dispatch_count=crit.dispatch_count,
+            adaptive_degree=max(cfg.adaptive_r, 1),
+            sharded_count=self.sharded_count,
+            num_global_experts=self.num_global_experts,
+        )
+
+    def _gather_expert_params(self, expert_params, cfg: _VariantCfg):
+        """Regather sharded expert weights for the chosen adaptive_r
+        (reference experts/ffn.py:83-109 zero_gather choreography)."""
+        shard_axes = self._expert_shard_axes()
+        r = cfg.adaptive_r
+        out = {}
+        for name, p in expert_params.items():
+            e_dim, s_dim = shard_axes.get(name, (0, None))
+            if r == 0:
+                # DP-expert mode: gather everything to global shapes.
+                if self.sharded_count > 1:
+                    if s_dim is not None:
+                        p = lax.all_gather(p, "g", axis=s_dim, tiled=True)
+                        p = lax.all_gather(p, "r", axis=s_dim, tiled=True)
+                    p = lax.all_gather(p, "e", axis=e_dim, tiled=True)
+                elif cfg.use_2dh:
+                    p = lax.all_gather(p, ("dcn", "ici"), axis=e_dim,
+                                       tiled=True)
+                else:
+                    p = lax.all_gather(p, ("e", "r", "g"), axis=e_dim,
+                                       tiled=True)
+            elif self.sharded_count > 1 and s_dim is not None:
+                if name == "fc2_b":
+                    # Output-dim bias: needs the full vector on every rank,
+                    # scaled so r partial-sum replicas add it once
+                    # (reference ffn.py:104-109).
+                    p = lax.all_gather(p, "g", axis=s_dim, tiled=True)
+                    p = lax.all_gather(p, "r", axis=s_dim, tiled=True)
+                    if r > 1:
+                        p = p / r
+                elif cfg.adaptive_r < self.sharded_count:
+                    # Hidden-dim shards regathered to H/r per replica.
+                    p = lax.all_gather(p, "g", axis=s_dim, tiled=True)
+            out[name] = p
+        return out
+
+    def _build_forward(self, cfg: _VariantCfg):
+        """Return fn(params, x2, key) -> (out, l_aux) for static cfg."""
+        ep_axes = self._ep_axes()
+        w = self.world_size
+        e_global = self.num_global_experts
+
+        def body(gate_params, expert_params, x_local, key):
+            idx = lax.axis_index(ep_axes) if w > 1 else 0
+            local_key = jax.random.fold_in(key, idx)
+            crit, l_aux = self._routing_local(
+                cfg, gate_params, x_local, local_key)
+            ctx = self._expert_ctx(cfg, crit)
+            y = dispatch_ops.fast_encode(x_local, crit, self.is_postscore)
+
+            if w == 1:
+                y = self.experts.apply(expert_params, y, ctx)
+            elif cfg.adaptive_r == 0:
+                eff = self._gather_expert_params(expert_params, cfg)
+                y = self.experts.apply(eff, y, ctx)
+            else:
+                r = cfg.adaptive_r
+                if e_global < w:
+                    if r > 1:
+                        y = jnp.tile(y, (1, r, 1))
+                    y = y.reshape(w, -1, y.shape[-1])
+                eff = expert_params
+                if self.sharded_count > 1:
+                    eff = self._gather_expert_params(expert_params, cfg)
+
+                def a2a(t, in_dim, out_dim):
+                    if cfg.use_2dh:
+                        return net.all_to_all_2dh(t, in_dim, out_dim,
+                                                  "dcn", "ici")
+                    return net.all_to_all(t, in_dim, out_dim, ep_axes)
+
+                deg = cfg.overlap_degree
+                if deg > 1:
+                    # Chunked a2a/FFN pipeline (reference overlap.py:8-67):
+                    # per-chunk a2a -> expert -> a2a; XLA's async collectives
+                    # overlap chunk i's FFN with chunk i+1's a2a.
+                    chunks = jnp.split(y, deg, axis=1)
+                    outs = []
+                    for c in chunks:
+                        c = a2a(c, 1, 0)
+                        c = self.experts.apply(eff, c, ctx)
+                        outs.append(a2a(c, 0, 1))
+                    y = jnp.concatenate(outs, axis=1)
+                else:
+                    y = a2a(y, 1, 0)
+                    y = self.experts.apply(eff, y, ctx)
+                    y = a2a(y, 0, 1)
+
+                if e_global < w:
+                    y = y.reshape(e_global, r, -1, y.shape[-1])
+                    y = jnp.sum(y, axis=1) if r > 1 else y.reshape(
+                        e_global, -1, y.shape[-1])
+
+            out = dispatch_ops.fast_decode(y, crit, self.is_postscore)
+            if w > 1:
+                l_aux = lax.pmean(l_aux, ep_axes)
+            return out, l_aux
+
+        if w == 1:
+            def fn(params, x2, key):
+                return body(params["gates"][cfg.gate_index],
+                            params["experts"], x2, key)
+            return fn
+
+        mesh = self._mesh(cfg.adaptive_r)
+        especs = self._expert_specs(ep_axes)
+
+        def fn(params, x2, key):
+            expert_params = params["experts"]
+            in_specs = (
+                jax.tree.map(lambda _: P(), params["gates"][cfg.gate_index]),
+                {k: P(*especs[k][:v.ndim]) for k, v in expert_params.items()},
+                P(ep_axes),
+                P(),
+            )
+            shmapped = jax.shard_map(
+                body, mesh=mesh, in_specs=in_specs,
+                out_specs=(P(ep_axes), P()))
+            return shmapped(params["gates"][cfg.gate_index],
+                            expert_params, x2, key)
+        return fn
+
+    # ------------------------------------------------------------------
+    # Dropless capacity counting (two-phase dispatch)
+    # ------------------------------------------------------------------
+
+    def _count_forward(self, params, x2, key, gate_index, top_k, training):
+        ckey = (gate_index, top_k, training)
+        fn = self._count_cache.get(ckey)
+        if fn is None:
+            fn = jax.jit(self._build_count(gate_index, top_k, training))
+            self._count_cache[ckey] = fn
+        return fn(params, x2, key)
+
+    def _build_count(self, gate_index, top_k, training):
+        ep_axes = self._ep_axes()
+        w = self.world_size
+        cfg = _VariantCfg(
+            gate_index=gate_index, top_k=top_k, capacity=1,
+            adaptive_r=max(self.adaptive_degree, 1), overlap_degree=1,
+            megablocks_size=0, training=training, use_2dh=self._flat_2dh(),
+            batch_prioritized=self.batch_prioritized_routing)
+
+        def body(gate_params, x_local, key):
+            idx = lax.axis_index(ep_axes) if w > 1 else 0
+            local_key = jax.random.fold_in(key, idx)
+            crit, _ = self._routing_local(cfg, gate_params, x_local, local_key)
+            needed = routing_ops.required_capacity(crit.dispatch_count)
+            if w > 1:
+                needed = lax.pmax(needed, ep_axes)
+            return needed
+
+        if w == 1:
+            return lambda params, x2, key: body(
+                params["gates"][gate_index], x2, key)
+
+        mesh = self._mesh(max(self.adaptive_degree, 1))
+
+        def fn(params, x2, key):
+            shmapped = jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(jax.tree.map(lambda _: P(),
+                                       params["gates"][gate_index]),
+                          P(ep_axes), P()),
+                out_specs=P())
+            return shmapped(params["gates"][gate_index], x2, key)
+        return fn
+
+    def get_parameter_iterator(self, params, param_type):
+        """reference moe_layer.py:242-248."""
+        if param_type == "gate":
+            for gi, g in enumerate(params["gates"]):
+                for n, p in g.items():
+                    yield f"gates.{gi}.{n}", p
+        elif param_type == "local_experts":
+            for n, p in params["experts"].items():
+                yield f"experts.{n}", p
+        else:
+            raise Exception(
+                "Specified parameter type is not recognized: %s. Valid "
+                "`param_type` includes: gate, local_experts." % param_type)
+
+    def extra_repr(self):
+        return "Top-K(s) = %s, Total-Experts = %d [managed by %d device(s)]," % (
+            [f"k={x.top_k}, noise={x.gate_noise}" for x in self.gates],
+            self.num_global_experts, self.world_size)
+
+
+moe_layer = MOELayer

@@ -1,1 +1,12 @@
-"""MoE facade placeholder."""
+"""Public MoE facade (reference: tutel/moe.py:6-12)."""
+
+from .impls.moe_layer import moe_layer, MOELayer  # noqa: F401
+from .ops.routing import extract_critical  # noqa: F401
+from .ops.dispatch import fast_encode, fast_decode  # noqa: F401
+from .ops.routing import RoutingResult  # noqa: F401
+
+
+def top_k_routing(scores, top_k, capacity, **kwargs):
+    """Convenience alias (reference exports extract_critical as
+    top_k_routing)."""
+    return extract_critical(scores, top_k, capacity, **kwargs)

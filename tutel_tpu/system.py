@@ -1,1 +1,138 @@
-"""Session bootstrap placeholder (full version added with the MoE layer)."""
+"""Session bootstrap, timing and path utilities.
+
+TPU-native counterpart of the reference's `tutel.system`
+(reference: tutel/system.py:10-104). Under JAX SPMD one process drives many
+devices, so "rank" concepts map to (process_index, device mesh position);
+`init_data_model_parallel` becomes: pick devices, record the data x model
+group factoring, and hand out mesh builders. NUMA pinning / CUDA sandboxing
+(reference system.py:10-25, launcher/execl.py) have no TPU equivalent — the
+TPU runtime owns core placement.
+"""
+
+import dataclasses
+import os
+import re
+import time
+from typing import Optional, Sequence
+
+import jax
+
+from .parallel import mesh as mesh_lib
+
+
+@dataclasses.dataclass
+class ParallelEnv:
+    """Session object (reference DistributedProperties,
+    communicate.py:120-146)."""
+    devices: tuple
+    global_size: int
+    group_count: int          # number of data-parallel groups
+    model_size: int           # devices per group
+    global_rank: int          # this process's index (0 in single-process)
+    is_distributed: bool
+
+    def dist_print(self, *args):
+        if self.global_rank == 0:
+            print(*args)
+
+    def moe_mesh(self, num_global_experts: int,
+                 adaptive_r: int = 1) -> mesh_lib.MoeMesh:
+        w = self.global_size
+        sharded = max(1, w // num_global_experts) if num_global_experts < w else 1
+        return mesh_lib.MoeMesh(
+            devices=self.devices,
+            num_expert_groups=w // sharded,
+            sharded_count=sharded,
+            adaptive_r=min(adaptive_r, sharded) if adaptive_r else 0,
+        )
+
+    def hierarchical_mesh(self, num_hosts: Optional[int] = None):
+        hosts = num_hosts or mesh_lib.infer_num_hosts(self.devices)
+        return mesh_lib.HierarchicalMesh(self.devices, hosts)
+
+
+_LOCAL_SESSION = None
+
+
+def init_data_model_parallel(group_count=1, backend=None,
+                             devices: Optional[Sequence] = None) -> ParallelEnv:
+    """Create the session (reference system.py:27-46).
+
+    `backend` is accepted for signature parity and ignored (XLA picks the
+    platform); `group_count` splits the world into data groups exactly like
+    create_groups_from_world (reference communicate.py:89-97), including the
+    negative convention: group_count=-k means groups of size k.
+    """
+    global _LOCAL_SESSION
+    devices = tuple(devices if devices is not None else jax.devices())
+    world = len(devices)
+    if group_count < 0:
+        group_count = world // -group_count
+    assert group_count > 0 and world % group_count == 0, (
+        f"Expected to evenly divide {world} devices into {group_count} groups.")
+    env = ParallelEnv(
+        devices=devices,
+        global_size=world,
+        group_count=group_count,
+        model_size=world // group_count,
+        global_rank=jax.process_index(),
+        is_distributed=world > 1,
+    )
+    _LOCAL_SESSION = env
+    return env
+
+
+def get_local_session() -> ParallelEnv:
+    global _LOCAL_SESSION
+    if _LOCAL_SESSION is None:
+        _LOCAL_SESSION = init_data_model_parallel()
+    return _LOCAL_SESSION
+
+
+# ---------------------------------------------------------------------------
+# Timing (reference system.py:73-79: wall clock with device sync)
+# ---------------------------------------------------------------------------
+
+def record_time(sync_value=None):
+    """Wall time after draining outstanding device work. Pass the most
+    recent output array(s) to block on; with None, blocks on all devices'
+    async dispatch via a trivial barrier."""
+    if sync_value is not None:
+        jax.block_until_ready(sync_value)
+    else:
+        jax.effects_barrier()
+    return time.perf_counter()
+
+
+# ---------------------------------------------------------------------------
+# {rank}/{size} path templating (reference system.py:92-104)
+# ---------------------------------------------------------------------------
+
+def apply_rank_size_from_pattern(pattern, rank, size):
+    original = pattern
+    pattern = pattern.replace("{rank}", str(rank)).replace("{size}", str(size))
+    if re.search(r"\{rank\}|\{size\}", original) is None and size > 1:
+        raise ValueError(
+            "checkpoint path must contain {rank}/{size} patterns for "
+            "multi-file checkpoints: %s" % original)
+    return pattern
+
+
+# ---------------------------------------------------------------------------
+# Global KV cache (reference system.py:48-66, used for l_aux collection)
+# ---------------------------------------------------------------------------
+
+_CACHE = {}
+
+
+def cache(key, default=None):
+    return _CACHE.setdefault(key, default)
+
+
+def cache_set(key, value):
+    _CACHE[key] = value
+    return value
+
+
+def cache_clear():
+    _CACHE.clear()
