@@ -8,21 +8,27 @@ tutel/impls/fast_dispatch.py:16-136):
   * `fast_decode`:  [E, C, M] expert outputs -> [S, M] weighted combine
 
 Design notes (TPU-first):
-  - Encode is an XLA scatter with *unique* indices (slot indices come from an
-    exclusive cumsum, so no collisions); decode is a gather + weighted sum.
-    Both are natively differentiable in JAX — scatter's VJP is gather and
-    vice versa — so the reference's three hand-written kernels
-    (fwd / bwd_data / bwd_gate) and the decode-fwd == encode-bwd symmetry
-    (reference fast_dispatch.py:50-66) come for free from autodiff.
-  - Dropped tokens (location >= capacity) are routed to a clamped index and
-    masked, matching the reference kernels' `if (locations[i] < capacity)`
-    guard (reference jit_kernels/sparse.py:24-34).
-  - A Pallas hot-path kernel lives in ops/dispatch_pallas.py; this module is
-    the executable spec and the CPU/interpret reference for it.
+  - On TPU, row *gathers* vectorize across lanes while row *scatters*
+    serialize. Both directions are therefore expressed as gathers: encode
+    inverts the token->slot map once (a tiny [K*S] int32 scatter, unique by
+    construction) and gathers token rows into slot order; decode gathers
+    slot rows back into token order.
+  - Custom VJPs keep the backward passes gather-only too, mirroring the
+    reference's three kernels (fwd / bwd_data / bwd_gate) and its
+    decode-fwd == encode-bwd symmetry (reference fast_dispatch.py:50-66):
+      encode bwd_data  == gather by the forward token->slot map (= decode)
+      decode bwd_data  == gather by the inverted slot->token map (= encode)
+      decode bwd_gate  == per-(k, token) dot products, fp32 accumulation
+        (reference sparse.py:74-133's warp-reduce).
+  - Dropped tokens (location >= capacity) clamp to an out-of-range index;
+    gathers fill 0 and the int32 scatter drops them, matching the reference
+    kernels' `if (locations[i] < capacity)` guard (sparse.py:24-34).
 
 `is_postscore=True` multiplies gates at decode; False multiplies at encode
 (reference fast_dispatch.py:124-134).
 """
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +40,7 @@ def _flat_slot(crit: RoutingResult):
     """[K, S] flattened slot index e*C + loc, with dropped tokens clamped out.
 
     Returns (flat_idx, valid_mask) where invalid entries point at E*C (one
-    past the end) so `.at[...].add(mode='drop')` discards them.
+    past the end) so scatters drop them and gathers fill zeros.
     """
     e_times_c = crit.num_global_experts * crit.capacity
     valid = (crit.locations >= 0) & (crit.locations < crit.capacity)
@@ -43,8 +49,74 @@ def _flat_slot(crit: RoutingResult):
     return flat, valid
 
 
+def _inverse_slot(crit: RoutingResult):
+    """[E*C] int32 slot -> flat (k-major) row id k*S + s; empty slots get the
+    sentinel K*S. One tiny int32 scatter (unique indices by construction)."""
+    k, s = crit.indices.shape
+    e_times_c = crit.num_global_experts * crit.capacity
+    flat_idx, _ = _flat_slot(crit)
+    row_ids = jnp.arange(k * s, dtype=jnp.int32)
+    inv = jnp.full((e_times_c,), k * s, dtype=jnp.int32)
+    return inv.at[flat_idx.reshape(-1)].set(row_ids, mode="drop",
+                                            unique_indices=True)
+
+
+def _take_rows(data, idx):
+    """Gather rows with out-of-range -> 0 (the dropped-token guard)."""
+    return jnp.take(data, idx, axis=0, mode="fill", fill_value=0)
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _encode(data, gates_flat, flat_idx, inv, prescore: bool):
+    return _encode_fwd_impl(data, gates_flat, flat_idx, inv, prescore)
+
+
+def _encode_fwd_impl(data, gates_flat, flat_idx, inv, prescore):
+    s = data.shape[0]
+    token = jnp.where(inv < flat_idx.size, inv % s, s)   # sentinel -> fill
+    out = _take_rows(data, token)                        # [E*C, M]
+    if prescore:
+        g = _take_rows(gates_flat[:, None], inv).astype(data.dtype)
+        out = out * g
+    return out
+
+
+def _encode_vjp_fwd(data, gates_flat, flat_idx, inv, prescore):
+    out = _encode_fwd_impl(data, gates_flat, flat_idx, inv, prescore)
+    return out, (data, gates_flat, flat_idx, inv)
+
+
+def _encode_vjp_bwd(prescore, res, g_out):
+    data, gates_flat, flat_idx, inv = res
+    k = flat_idx.shape[0]
+    s = flat_idx.shape[1]
+    m = g_out.shape[-1]
+    # bwd_data: gather expert-buffer grads back to token order (this is the
+    # decode-shaped gather; reference sparse.py:45-63).
+    rows = _take_rows(g_out, flat_idx.reshape(-1)).reshape(k, s, m)
+    if prescore:
+        gk = gates_flat.reshape(k, s).astype(g_out.dtype)
+        d_data = jnp.sum(rows * gk[:, :, None], axis=0)
+        # bwd_gate: per-(k, token) dot, fp32 accumulation
+        # (reference sparse.py:74-133).
+        d_gates = jnp.einsum(
+            "ksm,sm->ks", rows, data.astype(g_out.dtype),
+            preferred_element_type=jnp.float32).astype(gates_flat.dtype)
+    else:
+        d_data = jnp.sum(rows, axis=0)
+        d_gates = jnp.zeros_like(gates_flat)
+    return d_data.astype(data.dtype), d_gates.reshape(-1), None, None
+
+
+_encode.defvjp(_encode_vjp_fwd, _encode_vjp_bwd)
+
+
 def fast_encode(data, crit: RoutingResult, is_postscore=True):
-    """Scatter tokens into per-expert buffers.
+    """Dispatch tokens into per-expert buffers.
 
     Args:
       data: [S, M] tokens.
@@ -56,19 +128,60 @@ def fast_encode(data, crit: RoutingResult, is_postscore=True):
     """
     s, m = data.shape
     e, c = crit.num_global_experts, crit.capacity
-    flat_idx, valid = _flat_slot(crit)
-
-    if is_postscore:
-        src = jnp.broadcast_to(data[None], (crit.top_k, s, m))
-    else:
-        src = crit.gates.astype(data.dtype)[:, :, None] * data[None]
-
-    out = jnp.zeros((e * c, m), dtype=data.dtype)
-    # Unique slots by construction -> add == set; 'drop' discards clamped rows.
-    out = out.at[flat_idx.reshape(-1)].add(
-        src.reshape(-1, m), mode="drop",
-        indices_are_sorted=False, unique_indices=False)
+    flat_idx, _ = _flat_slot(crit)
+    inv = _inverse_slot(crit)
+    gates_flat = crit.gates.reshape(-1)
+    out = _encode(data, gates_flat, flat_idx, inv, not is_postscore)
     return out.reshape(e, c, m)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _decode(data_flat, gates_flat, flat_idx, inv, postscore: bool):
+    return _decode_fwd_impl(data_flat, gates_flat, flat_idx, inv, postscore)
+
+
+def _decode_fwd_impl(data_flat, gates_flat, flat_idx, inv, postscore):
+    k, s = flat_idx.shape
+    m = data_flat.shape[-1]
+    rows = _take_rows(data_flat, flat_idx.reshape(-1)).reshape(k, s, m)
+    if postscore:
+        gk = gates_flat.reshape(k, s).astype(rows.dtype)
+        rows = rows * gk[:, :, None]
+    return jnp.sum(rows, axis=0)
+
+
+def _decode_vjp_fwd(data_flat, gates_flat, flat_idx, inv, postscore):
+    out = _decode_fwd_impl(data_flat, gates_flat, flat_idx, inv, postscore)
+    return out, (data_flat, gates_flat, flat_idx, inv)
+
+
+def _decode_vjp_bwd(postscore, res, g):
+    data_flat, gates_flat, flat_idx, inv = res
+    k, s = flat_idx.shape
+    # bwd_data: encode-shaped gather of token grads into slot order
+    # (the decode-fwd == encode-bwd symmetry, reference fast_dispatch.py:50).
+    token = jnp.where(inv < k * s, inv % s, s)
+    d_rows = _take_rows(g, token)                         # [E*C, M]
+    if postscore:
+        gd = _take_rows(gates_flat[:, None], inv).astype(g.dtype)
+        d_data = d_rows * gd
+        # bwd_gate: d_gates[k,s] = <g[s], data[slot(k,s)]>, fp32 accum.
+        rows = _take_rows(data_flat, flat_idx.reshape(-1)).reshape(
+            k, s, data_flat.shape[-1])
+        d_gates = jnp.einsum(
+            "ksm,sm->ks", rows.astype(jnp.float32), g.astype(jnp.float32),
+            preferred_element_type=jnp.float32).astype(gates_flat.dtype)
+    else:
+        d_data = d_rows
+        d_gates = jnp.zeros_like(gates_flat)
+    return d_data.astype(data_flat.dtype), d_gates.reshape(-1), None, None
+
+
+_decode.defvjp(_decode_vjp_fwd, _decode_vjp_bwd)
 
 
 def fast_decode(data, crit: RoutingResult, is_postscore=True):
@@ -84,11 +197,38 @@ def fast_decode(data, crit: RoutingResult, is_postscore=True):
     """
     e, c, m = data.shape
     assert e == crit.num_global_experts and c == crit.capacity
+    flat_idx, _ = _flat_slot(crit)
+    inv = _inverse_slot(crit)
+    gates_flat = crit.gates.reshape(-1)
+    return _decode(data.reshape(e * c, m), gates_flat, flat_idx, inv,
+                   is_postscore)
+
+
+# ---------------------------------------------------------------------------
+# Reference implementations (scatter-based executable spec; used by tests
+# to validate the gather-based hot path above)
+# ---------------------------------------------------------------------------
+
+def fast_encode_scatter(data, crit: RoutingResult, is_postscore=True):
+    """Direct scatter encode: the numerics oracle for `fast_encode`."""
+    s, m = data.shape
+    e, c = crit.num_global_experts, crit.capacity
+    flat_idx, valid = _flat_slot(crit)
+    if is_postscore:
+        src = jnp.broadcast_to(data[None], (crit.top_k, s, m))
+    else:
+        src = crit.gates.astype(data.dtype)[:, :, None] * data[None]
+    out = jnp.zeros((e * c, m), dtype=data.dtype)
+    out = out.at[flat_idx.reshape(-1)].add(src.reshape(-1, m), mode="drop")
+    return out.reshape(e, c, m)
+
+
+def fast_decode_gather(data, crit: RoutingResult, is_postscore=True):
+    """Direct gather decode: the numerics oracle for `fast_decode`."""
+    e, c, m = data.shape
     flat_idx, valid = _flat_slot(crit)
     flat = data.reshape(e * c, m)
-
-    # mode='fill' returns 0 for the clamped (dropped) index e*c.
-    rows = flat.at[flat_idx].get(mode="fill", fill_value=0)     # [K, S, M]
+    rows = flat.at[flat_idx].get(mode="fill", fill_value=0)
     if is_postscore:
         gates = jnp.where(valid, crit.gates, 0).astype(data.dtype)
         rows = gates[:, :, None] * rows
@@ -109,7 +249,6 @@ def fast_encode_onehot(data, crit: RoutingResult, is_postscore=True):
     flat_idx, valid = _flat_slot(crit)
     scale = (jnp.where(valid, 1.0, 0.0) if is_postscore
              else jnp.where(valid, crit.gates, 0.0)).astype(data.dtype)
-    # [K, S, E*C] one-hot; sum over k then contract over s.
     oh = jax.nn.one_hot(flat_idx, e * c, dtype=data.dtype) * scale[:, :, None]
     oh = jnp.sum(oh, axis=0)                                    # [S, E*C]
     out = jnp.einsum("sn,sm->nm", oh, data,
