@@ -1,0 +1,93 @@
+"""INT8/INT4 quantization + Pallas grouped GEMM (interpret mode on CPU).
+
+Mirrors the reference test strategy's CPU==GPU numerics-oracle idea
+(reference tests/test_tutel.py:85-92): the Pallas kernel must match the
+plain-jnp dequant matmul."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tutel_tpu.ops import quant
+from tutel_tpu.ops.grouped_gemm_pallas import grouped_gemm_quant
+
+
+def _rand_w(e, k, n, seed=0):
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(rng.randn(e, k, n).astype(np.float32) * 0.1)
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_quant_roundtrip(bits):
+    w = _rand_w(3, 64, 32)
+    qw = quant.quantize(w, bits=bits)
+    deq = quant.dequantize(qw)
+    qmax = 127 if bits == 8 else 7
+    # symmetric per-channel: error bounded by scale/2 per element
+    max_scale = float(jnp.max(qw.scales))
+    err = float(jnp.max(jnp.abs(deq - w)))
+    assert err <= max_scale * 0.5 + 1e-6, (err, max_scale)
+    assert qw.shape == (3, 64, 32)
+
+
+def test_int4_pack_unpack_exact():
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randint(-8, 8, size=(2, 16, 8)).astype(np.int8))
+    low = q[:, :8, :].astype(jnp.int32) & 0xF
+    high = (q[:, 8:, :].astype(jnp.int32) & 0xF) << 4
+    packed = (low | high).astype(jnp.int8)
+    unpacked = quant.unpack_int4(packed)
+    np.testing.assert_array_equal(np.asarray(unpacked), np.asarray(q))
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_grouped_gemm_quant_matches_dense(bits):
+    e, c, k, n = 2, 24, 64, 48
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(e, c, k).astype(np.float32))
+    w = _rand_w(e, k, n, seed=3)
+    qw = quant.quantize(w, bits=bits)
+    out = grouped_gemm_quant(x, qw, bm=8, bn=16, interpret=True)
+    ref = jnp.einsum("eck,ekn->ecn", x, quant.dequantize(qw))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_grouped_gemm_count_narrowing():
+    e, c, k, n = 2, 32, 16, 16
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(e, c, k).astype(np.float32))
+    w = _rand_w(e, k, n, seed=5)
+    qw = quant.quantize(w, bits=8)
+    counts = jnp.asarray([8, 0], dtype=jnp.int32)
+    out = grouped_gemm_quant(x, qw, counts, bm=8, bn=16, interpret=True)
+    # whole tiles at/after the count are zero
+    assert float(jnp.abs(out[0, 8:]).max()) == 0.0
+    assert float(jnp.abs(out[1]).max()) == 0.0
+    ref = jnp.einsum("eck,ekn->ecn", x, quant.dequantize(qw))
+    np.testing.assert_allclose(np.asarray(out[0, :8]),
+                               np.asarray(ref[0, :8]), rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_moe_layer_quantized_inference(bits):
+    """End-to-end: MOELayer eval with quantized expert weights tracks the
+    fp32 forward within the quantization error budget."""
+    from tutel_tpu import moe
+
+    layer = moe.moe_layer(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 1.0},
+        experts={"type": "ffn", "num_experts_per_device": 4,
+                 "hidden_size_per_expert": 64},
+        model_dim=32, seeds=(1, 1, 1), group=jax.devices()[:1])
+    params = layer.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 32))
+    ref, _ = layer(params, x)
+    qparams = dict(params)
+    qparams["experts"] = quant.quantize_expert_params(params["experts"],
+                                                      bits=bits)
+    out, _ = layer(qparams, x)
+    rel = float(jnp.linalg.norm(out - ref) / (jnp.linalg.norm(ref) + 1e-9))
+    budget = 0.03 if bits == 8 else 0.2
+    assert rel < budget, rel

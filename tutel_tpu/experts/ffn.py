@@ -72,6 +72,16 @@ class FusedExpertsNetwork:
         fc1_b = params.get("fc1_b")
         fc2_b = params.get("fc2_b")
 
+        from ..ops.quant import QuantizedWeight
+        if isinstance(fc1_w, QuantizedWeight):
+            # Weight-only INT8/INT4 inference: Pallas grouped GEMM with
+            # fused dequant and megablocks row-narrowing.
+            from ..ops import grouped_gemm_pallas
+            return grouped_gemm_pallas.quantized_ffn(
+                x, params, ctx, activation_fn=self.activation_fn,
+                output_dim=self.output_dim,
+                interpret=jax.devices()[0].platform != "tpu")
+
         if ctx is not None and getattr(ctx, "megablocks_size", 0) > 0:
             from ..ops import grouped_gemm
             return grouped_gemm.megablocks_ffn(

@@ -1,0 +1,145 @@
+"""Pallas grouped GEMM with fused INT8/INT4 weight dequantization.
+
+The quantized-inference hot path (north star: dropless decode with INT4
+expert weights at grouped-GEMM roofline). Capability superset of the
+reference's megablocks `sparse_bmm_infer`
+(reference: tutel/custom/custom_kernel.cpp:874-889, tutel/experts/ffn.py:70-81):
+per-expert GEMMs narrowed to the rows actually routed to each expert, plus
+dequant fused into the MXU inner loop.
+
+Layout: dense per-expert buffers x [E, C, K]; quantized weights
+QuantizedWeight([E, K, N]); counts [E] gives live rows per expert. Grid is
+(E, C/bm, N/bn); each step loads the full-K activation stripe and the
+full-K quantized weight tile into VMEM, unpacks nibbles (split-half order:
+concat, no relayout — see ops/quant.py), runs one MXU dot with f32
+accumulation, and applies the per-output-channel scale as a post-GEMM
+column multiply (exact: int4/int8 values are exactly representable in
+bf16). Row tiles at or beyond the expert's count are skipped — the
+megablocks narrowing — writing zeros.
+
+Inference-only (no VJP), matching the reference megablocks path which is
+also inference-only (reference moe_layer.py:278-280).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .quant import QuantizedWeight
+
+
+def _gmm_kernel(counts_ref, x_ref, w_ref, s_ref, o_ref, *, bits, bm, bn,
+                out_dtype):
+    e = pl.program_id(0)
+    i = pl.program_id(1)
+    count = counts_ref[e]
+
+    @pl.when(i * bm < count)
+    def _compute():
+        wq = w_ref[0]                                   # [Kp, bn] int8
+        if bits == 4:
+            v = wq.astype(jnp.int32)
+            low = (v << 28) >> 28                       # sign-extend nibbles
+            high = v >> 4
+            q = jnp.concatenate([low, high], axis=0)    # split-half unpack
+        else:
+            q = wq.astype(jnp.int32)
+        acc = jnp.dot(x_ref[0], q.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+        acc = acc * s_ref[0, 0, :][None, :]
+        o_ref[0] = acc.astype(out_dtype)
+
+    @pl.when(i * bm >= count)
+    def _skip():
+        o_ref[0] = jnp.zeros((bm, bn), out_dtype)
+
+
+def grouped_gemm_quant(x, qw: QuantizedWeight, counts=None, *, bm=256,
+                       bn=256, interpret=False):
+    """out[e] = x[e] @ dequant(qw[e]), rows >= counts[e] skipped (zeros).
+
+    Args:
+      x: [E, C, K] activations (bf16/f32).
+      qw: QuantizedWeight of logical shape [E, K, N].
+      counts: [E] int32 live rows per expert (None = all C rows).
+      bm, bn: row / output-column tile sizes.
+    Returns:
+      [E, C, N] in x.dtype.
+    """
+    e, c, k = x.shape
+    ew, kw, n = qw.shape
+    assert e == ew and k == kw, (x.shape, qw.shape)
+    if counts is None:
+        counts = jnp.full((e,), c, dtype=jnp.int32)
+    counts = counts.astype(jnp.int32)
+
+    bm = min(bm, c)
+    bn = min(bn, n)
+    pad_c = (-c) % bm
+    pad_n = (-n) % bn
+    if pad_c:
+        x = jnp.pad(x, ((0, 0), (0, pad_c), (0, 0)))
+    cp, np_ = c + pad_c, n + pad_n
+    vals, scales = qw.values, qw.scales
+    if pad_n:
+        vals = jnp.pad(vals, ((0, 0), (0, 0), (0, pad_n)))
+        scales = jnp.pad(scales, ((0, 0), (0, 0), (0, pad_n)))
+    kp = vals.shape[1]                                   # K or K//2 (int4)
+
+    kernel = functools.partial(
+        _gmm_kernel, bits=qw.bits, bm=bm, bn=bn, out_dtype=x.dtype)
+    flops = 2 * e * cp * k * np_
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(e, cp // bm, np_ // bn),
+            in_specs=[
+                pl.BlockSpec((1, bm, k), lambda e, i, j, cnt: (e, i, 0)),
+                pl.BlockSpec((1, kp, bn), lambda e, i, j, cnt: (e, 0, j)),
+                pl.BlockSpec((1, 1, bn), lambda e, i, j, cnt: (e, 0, j)),
+            ],
+            out_specs=pl.BlockSpec((1, bm, bn),
+                                   lambda e, i, j, cnt: (e, i, j)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((e, cp, np_), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x.size * x.dtype.itemsize + vals.size
+            + e * cp * np_ * x.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(counts, x, vals, scales)
+    if pad_c or pad_n:
+        out = out[:, :c, :n]
+    return out
+
+
+def quantized_ffn(x, params, ctx, activation_fn, output_dim,
+                  interpret=False):
+    """Two-layer dropless FFN over dense [E, C, M] buffers with quantized
+    weights: grouped-GEMM + fused dequant for fc1 and fc2, with the
+    megablocks row-narrowing driven by ctx.dispatch_count."""
+    e, c, m = x.shape
+    counts = getattr(ctx, "dispatch_count", None)
+    if counts is not None:
+        mega = max(int(getattr(ctx, "megablocks_size", 1)), 1)
+        counts = jnp.minimum((counts + mega - 1) // mega * mega, c)
+    fc1_w, fc2_w = params["fc1_w"], params["fc2_w"]
+    fc1_b, fc2_b = params.get("fc1_b"), params.get("fc2_b")
+
+    y = grouped_gemm_quant(x, fc1_w, counts, interpret=interpret)
+    if fc1_b is not None:
+        y = y + fc1_b.astype(y.dtype)[:, None, :]
+    y = activation_fn(y)
+    y = grouped_gemm_quant(y, fc2_w, counts, interpret=interpret)
+    if fc2_b is not None:
+        bias = fc2_b.astype(y.dtype)[:, None, :]
+        if bias.shape[-1] != output_dim:
+            bias = jnp.pad(bias, ((0, 0), (0, 0),
+                                  (0, output_dim - bias.shape[-1])))
+        y = y + bias
+    return y
