@@ -75,7 +75,19 @@ def run(args, log=print):
         dtype=dtype,
         group=env,
     )
-    params = layer.shard_params(layer.init(jax.random.PRNGKey(1)))
+    params = layer.init(jax.random.PRNGKey(1))
+    if args.checkpoint_path:
+        # reference helloworld.py:103-108: resume when the file exists.
+        import os
+        from tutel_tpu import checkpoint, system as _system
+        path = _system.apply_rank_size_from_pattern(
+            args.checkpoint_path, rank=0, size=1)
+        if os.path.exists(path):
+            params = layer.load_state_dict(
+                params, checkpoint.serial.flatten_state(
+                    checkpoint.load_state(path)))
+            log(f"Checkpoint loaded from {path}.")
+    params = layer.shard_params(params)
 
     num_global_experts = layer.num_global_experts
     local_count = sum(int(p.size) for _, p in
@@ -149,6 +161,14 @@ def run(args, log=print):
 
     average_time /= min(10, args.num_steps)
     log("\n[Summary] Average synchronized step_time = %s sec." % average_time)
+
+    if args.checkpoint_path:
+        from tutel_tpu import checkpoint, system as _system
+        path = _system.apply_rank_size_from_pattern(
+            args.checkpoint_path, rank=0, size=1)
+        checkpoint.save_state(
+            path, checkpoint.serial.unflatten_state(layer.state_dict(params)))
+        log(f"Checkpoint saved to {path}.")
     return losses, average_time
 
 

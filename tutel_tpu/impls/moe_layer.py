@@ -670,6 +670,66 @@ class MOELayer:
             return shmapped(params["gates"][gate_index], x2, key)
         return fn
 
+    # ------------------------------------------------------------------
+    # Checkpoint format (reference moe_layer.py:57-75)
+    # ------------------------------------------------------------------
+
+    def state_dict(self, params, prefix=""):
+        """Flat {name: np.ndarray} with the `_num_global_experts` marker
+        buffer the checkpoint tools key on (reference moe_layer.py:63)."""
+        import numpy as np
+        out = {prefix + "_num_global_experts":
+               np.asarray(self.num_global_experts)}
+        for n, p in self.get_parameter_iterator(params, "gate"):
+            out[prefix + n] = np.asarray(p)
+        for n, p in self.get_parameter_iterator(params, "local_experts"):
+            out[prefix + n] = np.asarray(jax.device_get(p))
+        return out
+
+    def load_state_dict(self, params, state, prefix="", strict=False):
+        """Tolerant load into a params pytree (reference moe_layer.py:57-75):
+        missing entries keep their initialized values (with a warning);
+        shape mismatches are resolved by numel-preserving reshape."""
+        import logging
+        import numpy as np
+        marker = prefix + "_num_global_experts"
+        if marker in state:
+            ckpt_e = int(np.asarray(state[marker]))
+            assert ckpt_e == self.num_global_experts, (
+                f"Checkpoint has {ckpt_e} global experts, model expects "
+                f"{self.num_global_experts}; use tutel_tpu.checkpoint."
+                "gather/scatter to re-shard the checkpoint first.")
+        elif strict:
+            raise KeyError(marker)
+        else:
+            logging.warning(
+                "Loading a legacy checkpoint without `_num_global_experts`.")
+
+        def fill(name, p):
+            key = prefix + name
+            if key not in state:
+                if strict:
+                    raise KeyError(key)
+                logging.warning("Missing checkpoint entry %s; keeping "
+                                "initialized value.", key)
+                return p
+            v = jnp.asarray(np.asarray(state[key]), dtype=p.dtype)
+            if v.shape != p.shape:
+                assert v.size == p.size, (
+                    f"Checkpoint entry {key} has {v.size} elements, "
+                    f"expected {p.size}.")
+                v = v.reshape(p.shape)
+            return v
+
+        out = {"gates": [], "experts": {}}
+        for gi, g in enumerate(params["gates"]):
+            out["gates"].append(
+                {n: fill(f"gates.{gi}.{n}", p) for n, p in g.items()})
+        out["experts"] = {
+            n: fill(f"experts.{n}", p)
+            for n, p in params["experts"].items()}
+        return out
+
     def get_parameter_iterator(self, params, param_type):
         """reference moe_layer.py:242-248."""
         if param_type == "gate":
