@@ -1,0 +1,164 @@
+"""Collectives facade: a2a conventions, variable-length collectives, ZeRO.
+
+Run on the 8-virtual-device CPU mesh (conftest), mirroring the reference's
+2-process collective tests (reference tests/test_tutel.py) and its
+nccl_all_to_all_v / all_gather_v example semantics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+import optax
+import pytest
+
+from tutel_tpu import net
+
+
+def _mesh(w=8, name="x"):
+    return Mesh(np.asarray(jax.devices()[:w]), (name,))
+
+
+def test_all_to_all_dim_convention():
+    """all_to_all(y, 1, 0) then (0, 1) must be the identity, and the (1,0)
+    result must equal the reference's chunk/concat ordering."""
+    w = 4
+    mesh = _mesh(w)
+    e, c, m = 8, 2, 3
+    x = jnp.arange(w * e * c * m, dtype=jnp.float32).reshape(w * e, c, m)
+
+    def body(xs):
+        y = net.all_to_all(xs, 1, 0, "x")
+        z = net.all_to_all(y, 0, 1, "x")
+        return y, z
+
+    y, z = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=P("x"), out_specs=(P("x"), P("x"))))(x)
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(x))
+    # Reference ordering: device d's output rows = concat over sources s of
+    # s's chunk d (E/w rows each) along the capacity dim.
+    xs = np.asarray(x).reshape(w, e, c, m)
+    per_dev = []
+    for d in range(w):
+        chunks = [xs[s, d * (e // w):(d + 1) * (e // w)] for s in range(w)]
+        per_dev.append(np.concatenate(chunks, axis=1))
+    expect = np.concatenate(per_dev, axis=0)
+    np.testing.assert_array_equal(np.asarray(y), expect)
+
+
+def test_batch_all_to_all_v():
+    w = 4
+    mesh = _mesh(w)
+    n, m = 16, 2   # 16 rows per device
+    x = jnp.arange(w * n * m, dtype=jnp.float32).reshape(w * n, m)
+    # device d sends 4 rows to every peer
+    counts = jnp.tile(jnp.full((w,), n // w, jnp.int32), (w,))
+
+    def body(xs, cs):
+        out, recv = net.batch_all_to_all_v(xs, cs.reshape(-1), "x")
+        return out, recv
+
+    out, recv = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P("x"), P("x")),
+        out_specs=(P("x"), P("x"))))(x, counts)
+    recv = np.asarray(recv).reshape(w, w)
+    assert (recv == n // w).all()
+    # equal counts degenerate to a flat all_to_all over dim 0
+    expect = jax.jit(jax.shard_map(
+        lambda xs: net.simple_all_to_all(xs, "x"), mesh=mesh,
+        in_specs=P("x"), out_specs=P("x")))(x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(expect))
+
+
+def test_batch_all_to_all_v_uneven():
+    """Ragged path: device d sends d+1 rows to each peer."""
+    w = 4
+    mesh = _mesh(w)
+    cap, m = 32, 2
+    rows = []
+    counts = []
+    for d in range(w):
+        c = d + 1
+        block = np.full((cap, m), -1, np.float32)
+        # rows for peer p carry value 100*d + p
+        for p in range(w):
+            block[p * c:(p + 1) * c] = 100 * d + p
+        rows.append(block)
+        counts.append(np.full((w,), c, np.int32))
+    x = jnp.asarray(np.concatenate(rows, 0))
+    cs = jnp.asarray(np.concatenate(counts, 0))
+
+    def body(xs, c):
+        out, recv = net.batch_all_to_all_v(xs, c.reshape(-1), "x",
+                                           output_size=cap)
+        return out, recv
+
+    out, recv = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P("x"), P("x")),
+        out_specs=(P("x"), P("x"))))(x, cs)
+    out = np.asarray(out).reshape(w, cap, m)
+    recv = np.asarray(recv).reshape(w, w)
+    for d in range(w):
+        np.testing.assert_array_equal(recv[d], np.arange(1, w + 1))
+        off = 0
+        for s in range(w):
+            got = out[d, off:off + s + 1]
+            assert (got == 100 * s + d).all(), (d, s, got)
+            off += s + 1
+
+
+def test_batch_all_gather_v():
+    w = 4
+    mesh = _mesh(w)
+    cap, m = 8, 2
+    blocks, counts = [], []
+    for d in range(w):
+        b = np.full((cap, m), -1, np.float32)
+        b[: d + 1] = d
+        blocks.append(b)
+        counts.append(d + 1)
+    x = jnp.asarray(np.concatenate(blocks, 0))
+    cs = jnp.asarray(np.array(counts, np.int32))
+
+    def body(xs, c):
+        out, cnts = net.batch_all_gather_v(xs, c[0], "x", output_size=16)
+        return out, cnts
+
+    out, cnts = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P("x"), P("x")),
+        out_specs=(P(), P()), check_vma=False))(x, cs)
+    np.testing.assert_array_equal(np.asarray(cnts), [1, 2, 3, 4])
+    out = np.asarray(out)
+    off = 0
+    for d in range(w):
+        assert (out[off:off + d + 1] == d).all()
+        off += d + 1
+
+
+def test_zero_optimizer_matches_single_device():
+    """ZeRO-1 sharded Adam == plain Adam on replicated params."""
+    w = 8
+    mesh = _mesh(w)
+    params = {"a": jnp.arange(12.0).reshape(3, 4) / 10,
+              "b": jnp.arange(5.0)}
+    grads = {"a": jnp.ones((3, 4)) * 0.1, "b": jnp.ones((5,)) * 0.2}
+
+    inner = optax.adam(1e-2)
+    ref_state = inner.init(params)
+    updates, _ = inner.update(grads, ref_state, params)
+    expect = optax.apply_updates(params, updates)
+
+    opt = net.ZeroOptimizer(optax.adam(1e-2), axis="x")
+
+    def body(p, g):
+        state = opt.init(p, w)
+        newp, _ = opt.step(p, g, state, w)
+        return newp
+
+    got = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), P()), out_specs=P(),
+        check_vma=False))(params, grads)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(got[k]),
+                                   np.asarray(expect[k]), rtol=1e-5,
+                                   atol=1e-6)

@@ -155,3 +155,187 @@ def zero_shard_shape(full_shape, world_size):
 def spatial_split(x, axis, dim=0):
     """reference communicate.py:589-604."""
     return simple_split(x, axis, dim=dim)
+
+
+# ---------------------------------------------------------------------------
+# Variable-length collectives (reference communicate.py:225-255 wrapping
+# custom_kernel.cpp:463-518 batch_all_to_all_v / batch_all_gather_v).
+# On TPU these ride `lax.ragged_all_to_all` / all_gather; XLA needs a static
+# output capacity, so callers pass `output_size` (a bucketed upper bound —
+# dropless EP uses the same alignment-bucket trick as the MoE layer).
+# ---------------------------------------------------------------------------
+
+def batch_all_to_all_v(tensors, send_counts, axis, output_size=None):
+    """Exchange variable-length row blocks of one or more tensors.
+
+    Args:
+      tensors: one array or a list of arrays [N, ...] sharing the same row
+        partitioning; rows are grouped by destination device (device d gets
+        rows sum(counts[:d]) : sum(counts[:d+1])).
+      send_counts: [W] int32 rows destined to each peer.
+      axis: mesh axis name (or tuple).
+      output_size: static row capacity of the receive buffer (default: N).
+
+    Returns:
+      (received_tensors, recv_counts): rows from peer p land contiguously
+      in source-major order, tail rows beyond sum(recv_counts) undefined.
+    """
+    single = not isinstance(tensors, (list, tuple))
+    if single:
+        tensors = [tensors]
+    send_counts = send_counts.astype(jnp.int32)
+    # recv_counts[p] = rows peer p sends to me
+    recv_counts = lax.all_to_all(send_counts.reshape(-1, 1), axis,
+                                 split_axis=0, concat_axis=0,
+                                 tiled=True).reshape(-1)
+    in_offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(send_counts)[:-1]])
+    out_offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(recv_counts)[:-1]])
+    native = jax.devices()[0].platform == "tpu"
+    outs = []
+    for t in tensors:
+        n = output_size or t.shape[0]
+        out_buf = jnp.zeros((n,) + t.shape[1:], dtype=t.dtype)
+        if native:
+            outs.append(lax.ragged_all_to_all(
+                t, out_buf, in_offsets, send_counts, out_offsets,
+                recv_counts, axis_name=axis))
+        else:
+            outs.append(_ragged_a2a_fallback(
+                t, out_buf, in_offsets, send_counts, out_offsets,
+                recv_counts, axis))
+    return (outs[0] if single else outs), recv_counts
+
+
+def _ragged_a2a_fallback(t, out_buf, in_offsets, send_counts, out_offsets,
+                         recv_counts, axis):
+    """Dense-staging ragged a2a for backends without the XLA primitive
+    (XLA:CPU): stage rows into a [W, N, ...] buffer slotted by destination,
+    flat all_to_all, then compact by recv offsets. W-times the payload —
+    test/reference path only; TPU uses `lax.ragged_all_to_all`."""
+    w = send_counts.shape[0]
+    n_in = t.shape[0]
+    rows = jnp.arange(n_in, dtype=jnp.int32)
+    # staged[d, j] = t[in_offsets[d] + j] for j < send_counts[d]
+    src = in_offsets[:, None] + rows[None, :]                  # [W, N]
+    valid_s = rows[None, :] < send_counts[:, None]
+    src = jnp.where(valid_s, src, n_in)
+    staged = jnp.take(t, src.reshape(-1), axis=0, mode="fill",
+                      fill_value=0).reshape((w, n_in) + t.shape[1:])
+    recvd = lax.all_to_all(staged, axis, split_axis=0, concat_axis=0,
+                           tiled=True)                         # [W, N, ...]
+    # out[out_offsets[s] + j] = recvd[s, j] for j < recv_counts[s]
+    n_out = out_buf.shape[0]
+    dst = out_offsets[:, None] + rows[None, :]
+    valid_r = rows[None, :] < recv_counts[:, None]
+    dst = jnp.where(valid_r, dst, n_out)
+    return out_buf.at[dst.reshape(-1)].add(
+        recvd.reshape((w * n_in,) + t.shape[1:]), mode="drop")
+
+
+def batch_all_gather_v(tensors, count, axis, output_size=None):
+    """All-gather variable-length row blocks from every device.
+
+    Args:
+      tensors: array or list of [N, ...]; only the first `count` rows are
+        meaningful on each device.
+      count: scalar int32 valid rows on this device.
+      axis: mesh axis name (or tuple).
+      output_size: static row capacity per device of the result
+        (default: N * world).
+
+    Returns:
+      (gathered_tensors, counts): counts is [W]; device d's rows start at
+      sum(counts[:d]) in the gathered buffer.
+    """
+    single = not isinstance(tensors, (list, tuple))
+    if single:
+        tensors = [tensors]
+    count = jnp.asarray(count, jnp.int32).reshape(())
+    counts = lax.all_gather(count, axis, axis=0, tiled=False)   # [W]
+    w = counts.shape[0]
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+    my_start = starts[lax.axis_index(axis)]
+    outs = []
+    for t in tensors:
+        n = output_size or t.shape[0] * w
+        # place my rows at my global offset, zero elsewhere, then psum
+        rows = jnp.arange(t.shape[0], dtype=jnp.int32)
+        buf = jnp.zeros((n,) + t.shape[1:], dtype=t.dtype)
+        idx = jnp.where(rows < count, my_start + rows, n)
+        buf = buf.at[idx].add(jnp.where((rows < count).reshape(
+            (-1,) + (1,) * (t.ndim - 1)), t, 0), mode="drop")
+        outs.append(lax.psum(buf, axis))
+    return (outs[0] if single else outs), counts
+
+
+# ---------------------------------------------------------------------------
+# ZeRO-1 distributed optimizer (reference net.py:15-58
+# TutelDistributedOptimizer + communicate.py:566-586 zero prims).
+# ---------------------------------------------------------------------------
+
+class ZeroOptimizer:
+    """ZeRO stage-1 wrapper around an optax GradientTransformation.
+
+    TPU-native mechanics: each parameter is flattened and padded to the
+    world size; every device owns one flat shard and keeps optimizer state
+    only for it. A step is reduce-scatter(grads) -> local inner update ->
+    all-gather(params) — the same choreography as the reference's
+    zero_scatter / reduce-scatter / step / zero_gather, expressed with XLA
+    collectives inside the caller's shard_map (or used single-device, where
+    it degenerates to the inner optimizer).
+
+    Usage inside shard_map over mesh axis `axis`:
+        opt = net.ZeroOptimizer(optax.adam(1e-3), axis='e')
+        state = opt.init(params, world)       # per-device shard state
+        params, state = opt.step(params, grads, state)
+    """
+
+    def __init__(self, inner, axis):
+        self.inner = inner
+        self.axis = axis
+
+    def _shard(self, p, world):
+        flat = p.reshape(-1)
+        pad = (-flat.shape[0]) % world
+        if pad:
+            flat = jnp.pad(flat, (0, pad))
+        return flat.reshape(world, -1)
+
+    def init(self, params, world):
+        """Per-device optimizer state over this device's flat shards."""
+        def local_shard(p):
+            s = self._shard(p, world)
+            idx = lax.axis_index(self.axis) if world > 1 else 0
+            return s[idx]
+        shards = jax.tree.map(local_shard, params)
+        return self.inner.init(shards)
+
+    def step(self, params, grads, state, world):
+        if world == 1:
+            updates, state = self.inner.update(
+                jax.tree.map(lambda g: g.reshape(1, -1)[0], grads), state,
+                jax.tree.map(lambda p: p.reshape(-1), params))
+            new = jax.tree.map(
+                lambda p, u: (p.reshape(-1) + u).reshape(p.shape),
+                params, updates)
+            return new, state
+
+        def rs(g):
+            s = self._shard(g, world)
+            return lax.psum_scatter(s, self.axis, scatter_dimension=0,
+                                    tiled=False) / 1  # [shard]
+        g_shards = jax.tree.map(rs, grads)
+        p_shards = jax.tree.map(
+            lambda p: self._shard(p, world)[lax.axis_index(self.axis)],
+            params)
+        updates, state = self.inner.update(g_shards, state, p_shards)
+        new_shards = jax.tree.map(lambda p, u: p + u, p_shards, updates)
+
+        def ag(shard, p):
+            full = lax.all_gather(shard, self.axis, axis=0,
+                                  tiled=True)
+            return full[: p.size].reshape(p.shape).astype(p.dtype)
+        return jax.tree.map(ag, new_shards, params), state
