@@ -74,3 +74,17 @@ def test_training_2dh_invariance_8dev():
     l1, _ = run(build_args(base), log=lambda *a: None)
     l2, _ = run(build_args(base + ["--use_2dh"]), log=lambda *a: None)
     np.testing.assert_allclose(l1, l2, rtol=1e-4, atol=1e-4)
+
+
+def test_scan_matches_loop():
+    """--use_scan (one-jit training driver) must reproduce the per-step
+    loop's loss trajectory exactly."""
+    from tutel_tpu.examples import helloworld
+    base = ["--device", "cpu", "--num_steps", "4", "--batch_size", "2",
+            "--num_tokens", "32", "--model_dim", "64", "--hidden_size",
+            "64", "--top", "2"]
+    l1, _ = helloworld.run(helloworld.build_args(base),
+                           log=lambda *a, **k: None)
+    l2, _ = helloworld.run(helloworld.build_args(base + ["--use_scan"]),
+                           log=lambda *a, **k: None)
+    assert all(abs(a - b) < 1e-6 for a, b in zip(l1, l2))

@@ -1,0 +1,77 @@
+"""Transformer-MoE model family: shapes, training progress, aux collection.
+
+The capability oracle for the reference's fairseq-MoE integration
+(reference examples/fairseq_moe/fairseq_patch.diff): MoE FFNs every Nth
+block, aux losses summed across layers into the task loss."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tutel_tpu.models import TransformerMoE, TransformerMoEConfig
+
+
+def _model(**kw):
+    cfg = TransformerMoEConfig(
+        vocab_size=61, max_len=32, model_dim=32, num_heads=2, num_layers=4,
+        ffn_hidden=64, moe_every=2, num_local_experts=4, top_k=2,
+        expert_hidden=64, **kw)
+    return TransformerMoE(cfg, group=jax.devices()[:1]), cfg
+
+
+def test_forward_shapes_and_aux():
+    model, cfg = _model()
+    params = model.init(jax.random.PRNGKey(0))
+    assert set(model.moe_layers) == {1, 3}
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0,
+                                cfg.vocab_size)
+    logits, l_aux = jax.jit(model.apply)(params, tokens)
+    assert logits.shape == (2, 16, cfg.vocab_size)
+    assert float(l_aux) > 0       # two MoE layers contribute
+
+
+def test_lm_trains():
+    """A few Adam steps must reduce the loss on a repetitive corpus."""
+    import optax
+    model, cfg = _model()
+    params = model.init(jax.random.PRNGKey(0))
+    tokens = jnp.tile(jnp.arange(17)[None, :], (4, 2))[:, :32]
+    opt = optax.adam(1e-2)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state, key):
+        (loss, _), grads = jax.value_and_grad(model.loss, has_aux=True)(
+            params, tokens, key=key)
+        updates, state = opt.update(grads, state, params)
+        return optax.apply_updates(params, updates), state, loss
+
+    losses = []
+    key = jax.random.PRNGKey(3)
+    for i in range(10):
+        key, sk = jax.random.split(key)
+        params, state, loss = step(params, state, sk)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_moe_override_topk():
+    """Per-call top_k override reaches the embedded MoE layers."""
+    model, cfg = _model()
+    params = model.init(jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0,
+                                cfg.vocab_size)
+    l1, _ = model.apply(params, tokens, moe_overrides={"top_k": 1})
+    l2, _ = model.apply(params, tokens, moe_overrides={"top_k": 2})
+    assert not np.allclose(np.asarray(l1), np.asarray(l2))
+
+
+def test_lm_example_runs():
+    from tutel_tpu.examples import moe_transformer_lm
+    import argparse
+    losses = moe_transformer_lm.run(argparse.Namespace(
+        batch_size=4, seq_len=32, model_dim=32, num_heads=2, num_layers=2,
+        hidden=64, moe_every=1, num_experts=4, top=2, steps=8, lr=3e-3,
+        l_aux_wt=0.01, dtype="float32", data_file="", checkpoint_path="",
+        device="cpu"), log=lambda *a, **k: None)
+    assert len(losses) == 8 and losses[-1] < losses[0]

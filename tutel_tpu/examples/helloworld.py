@@ -37,6 +37,10 @@ def build_args(argv=None):
     parser.add_argument("--megablocks_size", type=int, default=0)
     parser.add_argument("--expert_type", type=str, default="ffn")
     parser.add_argument("--num_devices", type=int, default=0)
+    parser.add_argument("--use_scan", default=False, action="store_true",
+                        help="run all steps inside one jit via lax.scan; "
+                        "step_time is then pure device time (excludes "
+                        "per-step host dispatch latency)")
     return parser.parse_args(argv)
 
 
@@ -133,6 +137,56 @@ def run(args, log=print):
         "hidden_size = %s, samples = %s, num_local_experts = %s, topK = %s, "
         "a2a_ffn_overlap_degree = %s, parallel_type = `%s`, device = `%s`"
         % tuples)
+
+    if args.use_scan:
+        # One jit for the whole loop: the TPU-idiomatic training driver.
+        # Key sequence matches the per-step loop below exactly.
+        from jax import lax
+
+        def one_step(carry, _):
+            params, key = carry
+            key, step_key = jax.random.split(key)
+            if args.eval:
+                loss = loss_fn(params, x, step_key)
+            else:
+                loss, grads = jax.value_and_grad(loss_fn)(params, x,
+                                                          step_key)
+                params = jax.tree.map(
+                    lambda p, g: p - lr * g.astype(p.dtype), params, grads)
+            return (params, key), loss
+
+        @jax.jit
+        def run_all(params, key):
+            (params, _), losses = lax.scan(
+                one_step, (params, key), None, length=args.num_steps)
+            return params, losses
+
+        new_params, losses_arr = run_all(params, jax.random.PRNGKey(1))
+        jax.block_until_ready(losses_arr)               # compile + run
+        t_start = time.perf_counter()
+        new_params, losses_arr = run_all(params, jax.random.PRNGKey(1))
+        jax.block_until_ready(losses_arr)
+        average_time = (time.perf_counter() - t_start) / args.num_steps
+        params = new_params
+        losses = [float(l) for l in losses_arr]
+        mm_ceof = 1 if args.eval else 3
+        cap_ceof = min(args.top, num_global_experts)
+        tflops = (args.batch_size * args.num_tokens * args.model_dim *
+                  args.hidden_size) * 4 * mm_ceof * cap_ceof * 1e-12 \
+            / average_time
+        for i, loss_f in enumerate(losses):
+            log("STEP-%s: loss = %.5f, step_time = %.6f sec, "
+                "perf = %.2f tflops." % (i, loss_f, average_time, tflops))
+        log("\n[Summary] Average synchronized step_time = %s sec."
+            % average_time)
+        if args.checkpoint_path:
+            from tutel_tpu import checkpoint, system as _system
+            path = _system.apply_rank_size_from_pattern(
+                args.checkpoint_path, rank=0, size=1)
+            checkpoint.save_state(path, checkpoint.serial.unflatten_state(
+                layer.state_dict(params)))
+            log(f"Checkpoint saved to {path}.")
+        return losses, average_time
 
     average_time, losses = 0.0, []
     key = jax.random.PRNGKey(1)

@@ -1,0 +1,184 @@
+"""Decoder-only Transformer LM with MoE FFN blocks.
+
+Capability counterpart of the reference's fairseq integration
+(reference examples/fairseq_moe/fairseq_patch.diff:44-54: every `MOE`-th
+decoder FFN is replaced by a `moe_layer`; aux losses are collected across
+layers and added to the task loss with weight `L_AUX_WT`,
+fairseq_patch.diff:119-128). Here the integration is functional: the model
+returns (logits, l_aux_sum), no global-cache side channel.
+
+TPU-first: bf16-friendly, static shapes, causal attention as one fused
+einsum chain, pre-LN blocks, MoE layers built once and driven through the
+variant cache (per-call top_k / capacity_factor overrides pass through
+`forward(..., moe_overrides={...})`).
+"""
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..impls.moe_layer import MOELayer
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerMoEConfig:
+    vocab_size: int = 256
+    max_len: int = 256
+    model_dim: int = 128
+    num_heads: int = 4
+    num_layers: int = 4
+    ffn_hidden: int = 512
+    moe_every: int = 2                 # every Nth block uses MoE FFN
+    num_local_experts: int = 4
+    top_k: int = 2
+    capacity_factor: float = 1.25
+    expert_hidden: int = 512
+    expert_type: str = "ffn"
+    gate_type: str = "top"
+    dtype: Any = jnp.float32
+
+
+class TransformerMoE:
+    """Functional model: `init(key) -> params`, `apply(params, tokens)`."""
+
+    def __init__(self, config: TransformerMoEConfig, group=None,
+                 parallel_type="adaptive:1"):
+        self.cfg = config
+        self.moe_layers: Dict[int, MOELayer] = {}
+        for i in range(config.num_layers):
+            if config.moe_every > 0 and (i + 1) % config.moe_every == 0:
+                self.moe_layers[i] = MOELayer(
+                    gate_type={"type": config.gate_type, "k": config.top_k,
+                               "capacity_factor": config.capacity_factor},
+                    experts={"type": config.expert_type,
+                             "num_experts_per_device":
+                                 config.num_local_experts,
+                             "hidden_size_per_expert": config.expert_hidden},
+                    model_dim=config.model_dim,
+                    dtype=config.dtype,
+                    parallel_type=parallel_type,
+                    group=group,
+                )
+
+    # ------------------------------------------------------------------
+
+    def init(self, key) -> Dict[str, Any]:
+        cfg = self.cfg
+        d = cfg.model_dim
+        keys = jax.random.split(key, cfg.num_layers + 2)
+        scale = d ** -0.5
+        params: Dict[str, Any] = {
+            "embed": jax.random.normal(keys[0], (cfg.vocab_size, d),
+                                       cfg.dtype) * scale,
+            "pos": jax.random.normal(keys[1], (cfg.max_len, d),
+                                     cfg.dtype) * scale,
+            "final_ln": {"scale": jnp.ones((d,), cfg.dtype),
+                         "bias": jnp.zeros((d,), cfg.dtype)},
+            "blocks": [],
+        }
+        for i in range(cfg.num_layers):
+            bk = jax.random.split(keys[i + 2], 6)
+            block = {
+                "ln1": {"scale": jnp.ones((d,), cfg.dtype),
+                        "bias": jnp.zeros((d,), cfg.dtype)},
+                "ln2": {"scale": jnp.ones((d,), cfg.dtype),
+                        "bias": jnp.zeros((d,), cfg.dtype)},
+                "wqkv": jax.random.normal(bk[0], (d, 3 * d),
+                                          cfg.dtype) * scale,
+                "wo": jax.random.normal(bk[1], (d, d), cfg.dtype) * scale,
+            }
+            if i in self.moe_layers:
+                block["moe"] = self.moe_layers[i].init(bk[2])
+            else:
+                h = cfg.ffn_hidden
+                block["ffn"] = {
+                    "w1": jax.random.normal(bk[3], (d, h), cfg.dtype)
+                    * scale,
+                    "b1": jnp.zeros((h,), cfg.dtype),
+                    "w2": jax.random.normal(bk[4], (h, d), cfg.dtype)
+                    * (h ** -0.5),
+                    "b2": jnp.zeros((d,), cfg.dtype),
+                }
+            params["blocks"].append(block)
+        return params
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _ln(p, x):
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
+        return (y * p["scale"].astype(jnp.float32)
+                + p["bias"].astype(jnp.float32)).astype(x.dtype)
+
+    def _attn(self, block, x):
+        cfg = self.cfg
+        b, t, d = x.shape
+        nh, hd = cfg.num_heads, d // cfg.num_heads
+        qkv = jnp.einsum("btd,de->bte", x, block["wqkv"],
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, t, nh, hd)
+        k = k.reshape(b, t, nh, hd)
+        v = v.reshape(b, t, nh, hd)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores * (hd ** -0.5)
+        mask = jnp.tril(jnp.ones((t, t), bool))
+        scores = jnp.where(mask[None, None], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = out.reshape(b, t, d)
+        return jnp.einsum("btd,de->bte", out, block["wo"],
+                          preferred_element_type=jnp.float32).astype(x.dtype)
+
+    def apply(self, params, tokens, key=None, training=False,
+              moe_overrides: Optional[dict] = None):
+        """tokens [B, T] int32 -> (logits [B, T, V], l_aux_sum)."""
+        cfg = self.cfg
+        b, t = tokens.shape
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        x = params["embed"][tokens] + params["pos"][None, :t]
+        x = x.astype(cfg.dtype)
+        l_aux_sum = jnp.float32(0)
+        overrides = dict(moe_overrides or {})
+        for i, block in enumerate(params["blocks"]):
+            x = x + self._attn(block, self._ln(block["ln1"], x))
+            h = self._ln(block["ln2"], x)
+            if i in self.moe_layers:
+                out, l_aux = self.moe_layers[i](
+                    block["moe"], h, key=jax.random.fold_in(key, i),
+                    training=training, **overrides)
+                x = x + out
+                l_aux_sum = l_aux_sum + l_aux.astype(jnp.float32)
+            else:
+                f = block["ffn"]
+                hdn = jnp.einsum("btd,dh->bth", h, f["w1"],
+                                 preferred_element_type=jnp.float32)
+                hdn = jax.nn.gelu(hdn + f["b1"]).astype(cfg.dtype)
+                o = jnp.einsum("bth,hd->btd", hdn, f["w2"],
+                               preferred_element_type=jnp.float32)
+                x = x + (o + f["b2"]).astype(cfg.dtype)
+        x = self._ln(params["final_ln"], x)
+        logits = jnp.einsum("btd,vd->btv", x.astype(jnp.float32),
+                            params["embed"].astype(jnp.float32))
+        return logits, l_aux_sum
+
+    def loss(self, params, tokens, key=None, training=True,
+             l_aux_wt=0.01, moe_overrides=None):
+        """Next-token cross-entropy + weighted aux loss
+        (the fairseq patch's L_AUX_WT, fairseq_patch.diff:119-128)."""
+        logits, l_aux = self.apply(params, tokens[:, :-1], key=key,
+                                   training=training,
+                                   moe_overrides=moe_overrides)
+        targets = tokens[:, 1:]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.mean(jnp.take_along_axis(
+            logp, targets[..., None], axis=-1))
+        return nll + l_aux_wt * l_aux, (nll, l_aux)
