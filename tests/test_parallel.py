@@ -137,3 +137,50 @@ def test_no_recompile_on_dynamic_switching(x):
     for kw in combos:  # second pass: all hits
         layer(params, x, **kw)
     assert len(layer._jit_cache) == n_variants
+
+
+def test_valid_tokens_layer_level():
+    """MOELayer(valid_tokens=...) zeroes padding-token outputs and matches
+    the dense forward on the valid prefix (single device)."""
+    import jax
+    import jax.numpy as jnp
+    from tutel_tpu import moe
+
+    layer = moe.moe_layer(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 4.0},
+        experts={"type": "ffn", "num_experts_per_device": 4,
+                 "hidden_size_per_expert": 32},
+        model_dim=32, seeds=(1, 1, 1), group=jax.devices()[:1])
+    params = layer.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 32))
+    out, _ = layer(params, x, valid_tokens=10)
+    assert float(jnp.abs(out[10:]).max()) == 0.0
+    full, _ = layer(params, x)
+    # valid prefix differs from dense only through capacity effects; with
+    # ample capacity they agree exactly
+    np.testing.assert_allclose(np.asarray(out[:10]), np.asarray(full[:10]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_a2a_dtype_bf16_payload():
+    """a2a payload cast (fp16-a2a capability, reference autocast
+    moe_layer.py:26-39): bf16-compressed a2a stays close to full precision
+    on the 8-device EP mesh."""
+    import jax
+    import jax.numpy as jnp
+    from tutel_tpu import moe
+
+    devices = jax.devices()[:8]
+    kwargs = dict(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 1.0},
+        experts={"type": "ffn", "num_experts_per_device": 1,
+                 "hidden_size_per_expert": 32},
+        model_dim=32, seeds=(1, 1, 1), group=devices)
+    ref_layer = moe.moe_layer(**kwargs)
+    bf_layer = moe.moe_layer(a2a_dtype=jnp.bfloat16, **kwargs)
+    params = ref_layer.shard_params(ref_layer.init(jax.random.PRNGKey(0)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 32))
+    ref, _ = ref_layer(params, x)
+    got, _ = bf_layer(params, x)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert 0 < rel < 0.02, rel

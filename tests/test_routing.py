@@ -123,3 +123,36 @@ def test_losses_match_reference_torch():
     theirs = float(ref.load_importance_loss(
         torch.tensor(scores), torch.tensor(topk_logits), e, gate_noise))
     np.testing.assert_allclose(ours, theirs, rtol=1e-4)
+
+
+def test_token_mask_padding_tokens():
+    """token_mask (inequivalent_tokens support): padding tokens take no
+    expert slot, get zero gates, and dispatch to nothing."""
+    import jax
+    import jax.numpy as jnp
+    from tutel_tpu.ops import routing, dispatch
+
+    s, e, k = 12, 4, 2
+    scores = jax.nn.softmax(
+        jax.random.normal(jax.random.PRNGKey(0), (s, e)), axis=1)
+    mask = jnp.arange(s) < 8   # last 4 tokens are padding
+    crit, _ = routing.extract_critical(scores, k, capacity=8,
+                                       loss_fn=None, token_mask=mask)
+    # padding rows dropped and countless
+    assert (np.asarray(crit.locations[:, 8:]) == -1).all()
+    assert (np.asarray(crit.gates[:, 8:]) == 0).all()
+    assert int(jnp.sum(crit.dispatch_count)) == 8 * k
+    # counts equal the unmasked routing of the first 8 tokens
+    crit8, _ = routing.extract_critical(scores[:8], k, capacity=8,
+                                        loss_fn=None)
+    np.testing.assert_array_equal(np.asarray(crit.dispatch_count),
+                                  np.asarray(crit8.dispatch_count))
+    # encode/decode: output for padding tokens is exactly zero
+    x = jax.random.normal(jax.random.PRNGKey(1), (s, 6))
+    y = dispatch.fast_encode(x, crit)
+    out = dispatch.fast_decode(y, crit)
+    assert float(jnp.abs(out[8:]).max()) == 0.0
+    np.testing.assert_allclose(
+        np.asarray(out[:8]),
+        np.asarray(dispatch.fast_decode(dispatch.fast_encode(x[:8], crit8),
+                                        crit8)), rtol=1e-6)

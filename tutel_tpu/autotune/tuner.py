@@ -1,0 +1,121 @@
+"""Config autotuner: time candidate configs, pick the fastest, persist.
+
+Measurement method: the candidate step is chained N times inside one jit
+(`lax.fori_loop`), so the cost is device time — the parted executor's
+5-warmup/5-average pattern (reference parted/backend/torch/executor.py:
+106-110) without host-dispatch noise.
+"""
+
+import json
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+from jax import lax
+
+
+class ConfigStore:
+    """JSON config persistence (reference CONFIG_STORE_PATH,
+    parted/spmdx.py:25-31 + backend/torch/config.py:16)."""
+
+    def __init__(self, path: Optional[str] = None):
+        self.path = path or os.environ.get("CONFIG_STORE_PATH", "")
+
+    def load(self) -> Dict[str, Any]:
+        if self.path and os.path.exists(self.path):
+            with open(self.path) as f:
+                return json.load(f)
+        return {}
+
+    def save(self, data: Dict[str, Any]):
+        if not self.path:
+            return
+        d = os.path.dirname(self.path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        with open(self.path, "w") as f:
+            json.dump(data, f, indent=2, sort_keys=True)
+
+
+def _time_chained(step: Callable, init, iters: int) -> float:
+    @jax.jit
+    def run(c):
+        return lax.fori_loop(0, iters, step, c)
+    r = run(init)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    r = run(init)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / iters
+
+
+def tune(make_step: Callable[[Any], Any], configs: List[Any], init,
+         iters: int = 5, key_fn=str, store: Optional[ConfigStore] = None,
+         store_key: str = "default", verbose=False) -> Dict[str, Any]:
+    """Time `make_step(cfg)` for each config; return the best.
+
+    make_step(cfg) must return a fori_loop body fn(i, carry) -> carry.
+    A config whose step raises at trace/compile time is skipped (the
+    parted solver's invalid-candidate pruning).
+    """
+    results = {}
+    for cfg in configs:
+        name = key_fn(cfg)
+        try:
+            dt = _time_chained(make_step(cfg), init, iters)
+        except Exception as e:  # invalid candidate (shape/divisibility)
+            if verbose:
+                print(f"[tune] {name}: skipped ({type(e).__name__}: {e})")
+            continue
+        results[name] = dt
+        if verbose:
+            print(f"[tune] {name}: {dt*1e3:.3f} ms/step")
+    if not results:
+        raise RuntimeError("no valid tuning candidate survived")
+    best = min(results, key=results.get)
+    out = {"best": best, "timings": results}
+    if store is not None:
+        data = store.load()
+        data[store_key] = out
+        store.save(data)
+    return out
+
+
+def moe_candidates(layer, overlap_degrees=(1, 2, 4)) -> List[dict]:
+    """Enumerate the MoE layer's semantically-equal parallel configs."""
+    cands = []
+    rs = [r for r in layer.valid_rs if r > 0] or [1]
+    for r in rs:
+        for deg in overlap_degrees:
+            cands.append({"adaptive_r": r, "a2a_ffn_overlap_degree": deg})
+    return cands
+
+
+def tune_moe(layer, params, x, key=None, candidates=None, iters: int = 5,
+             training=False, store: Optional[ConfigStore] = None,
+             store_key: str = "moe", verbose=False) -> Dict[str, Any]:
+    """Pick the fastest (adaptive_r, overlap_degree) for this layer+shape.
+
+    The winning config can be applied per call:
+        best = json.loads(result['best'])
+        layer(params, x, **best)
+    """
+    import jax.numpy as jnp
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    candidates = candidates if candidates is not None \
+        else moe_candidates(layer)
+
+    def make_step(cfg):
+        def step(i, carry):
+            xx, acc = carry
+            out, l_aux = layer(params, xx + (acc * 1e-20).astype(xx.dtype),
+                               key=jax.random.fold_in(key, i),
+                               training=training, **cfg)
+            return (xx, acc + jnp.sum(out.astype(jnp.float32)) * 1e-9)
+        return step
+
+    return tune(make_step, candidates, (x, jnp.float32(0)), iters=iters,
+                key_fn=lambda c: json.dumps(c, sort_keys=True),
+                store=store, store_key=store_key, verbose=verbose)

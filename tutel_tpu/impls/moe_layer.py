@@ -62,6 +62,8 @@ class _VariantCfg:
     training: bool
     use_2dh: bool
     batch_prioritized: bool
+    a2a_dtype: Any = None            # payload dtype for the a2a (bf16/fp8)
+    has_valid: bool = False          # per-shard valid-token masking
 
 
 class MOELayer:
@@ -99,6 +101,7 @@ class MOELayer:
         parallel_type="adaptive:1",
         use_2dh=False,
         dtype=jnp.float32,
+        a2a_dtype=None,                  # cast a2a payload (e.g. bf16, fp8)
         capacity_bucket: int = 0,        # extra capacity rounding quantum
         num_hosts: Optional[int] = None, # dcn axis size for use_2dh
         **kwargs,
@@ -127,6 +130,7 @@ class MOELayer:
         self.a2a_ffn_overlap_degree = a2a_ffn_overlap_degree
         self.use_2dh = use_2dh
         self.dtype = dtype
+        self.a2a_dtype = a2a_dtype
         self.capacity_bucket = capacity_bucket
         self.num_hosts = num_hosts or mesh_lib.infer_num_hosts(self.devices)
 
@@ -338,8 +342,9 @@ class MOELayer:
     def __call__(self, params, x, key=None, gate_index=0,
                  capacity_factor=None, top_k=None,
                  a2a_ffn_overlap_degree=None, reserve_dims=1,
-                 inequivalent_tokens=False, adaptive_r=None,
-                 megablocks_size=0, training=False, capacity_override=None):
+                 inequivalent_tokens=False, valid_tokens=None,
+                 adaptive_r=None, megablocks_size=0, training=False,
+                 capacity_override=None):
         """Forward pass. Returns (output, l_aux).
 
         Mirrors the reference forward's per-call dynamic arguments
@@ -428,13 +433,21 @@ class MOELayer:
             adaptive_r=r, overlap_degree=overlap_degree,
             megablocks_size=megablocks_size, training=training,
             use_2dh=self._flat_2dh(),
-            batch_prioritized=self.batch_prioritized_routing)
+            batch_prioritized=self.batch_prioritized_routing,
+            a2a_dtype=self.a2a_dtype,
+            has_valid=valid_tokens is not None)
 
         fn = self._jit_cache.get(cfg)
         if fn is None:
             fn = jax.jit(self._build_forward(cfg))
             self._jit_cache[cfg] = fn
-        out, l_aux = fn(params, x2, key)
+        if valid_tokens is not None:
+            valid = jnp.broadcast_to(
+                jnp.asarray(valid_tokens, jnp.int32).reshape(-1),
+                (self.world_size,))
+            out, l_aux = fn(params, x2, key, valid)
+        else:
+            out, l_aux = fn(params, x2, key)
         out = out.reshape(*original_shape[:-reserve_dims],
                           *reserve_shape[:-1], -1)
         if self.result_func is not None:
@@ -469,7 +482,8 @@ class MOELayer:
     # Compiled-variant builders
     # ------------------------------------------------------------------
 
-    def _routing_local(self, cfg: _VariantCfg, gate_params, x_local, key):
+    def _routing_local(self, cfg: _VariantCfg, gate_params, x_local, key,
+                       token_mask=None):
         """Per-device routing: logits -> noised scores -> extract_critical."""
         gate = self.gates[cfg.gate_index]
         logits = gate.apply(gate_params, x_local)
@@ -491,7 +505,7 @@ class MOELayer:
         return routing_ops.extract_critical(
             scores, cfg.top_k, capacity=cfg.capacity, loss_fn=loss_fn,
             batch_prioritized_routing=cfg.batch_prioritized,
-            normalize_gate=self.normalize_gate)
+            normalize_gate=self.normalize_gate, token_mask=token_mask)
 
     def _expert_ctx(self, cfg: _VariantCfg, crit):
         return SimpleNamespace(
@@ -544,11 +558,15 @@ class MOELayer:
         w = self.world_size
         e_global = self.num_global_experts
 
-        def body(gate_params, expert_params, x_local, key):
+        def body(gate_params, expert_params, x_local, key, valid=None):
             idx = lax.axis_index(ep_axes) if w > 1 else 0
             local_key = jax.random.fold_in(key, idx)
+            token_mask = None
+            if valid is not None:
+                token_mask = jnp.arange(
+                    x_local.shape[0], dtype=jnp.int32) < valid[0]
             crit, l_aux = self._routing_local(
-                cfg, gate_params, x_local, local_key)
+                cfg, gate_params, x_local, local_key, token_mask)
             ctx = self._expert_ctx(cfg, crit)
             y = dispatch_ops.fast_encode(x_local, crit, self.is_postscore)
 
@@ -568,10 +586,15 @@ class MOELayer:
                     eff = self._gather_expert_params(expert_params, cfg)
 
                 def a2a(t, in_dim, out_dim):
+                    ct = t if cfg.a2a_dtype is None \
+                        else t.astype(cfg.a2a_dtype)
                     if cfg.use_2dh:
-                        return net.all_to_all_2dh(t, in_dim, out_dim,
-                                                  "dcn", "ici")
-                    return net.all_to_all(t, in_dim, out_dim, ep_axes)
+                        ct = net.all_to_all_2dh(ct, in_dim, out_dim,
+                                                "dcn", "ici")
+                    else:
+                        ct = net.all_to_all(ct, in_dim, out_dim, ep_axes)
+                    return ct if cfg.a2a_dtype is None \
+                        else ct.astype(t.dtype)
 
                 deg = cfg.overlap_degree
                 if deg > 1:
@@ -601,27 +624,36 @@ class MOELayer:
             return out, l_aux
 
         if w == 1:
-            def fn(params, x2, key):
-                return body(params["gates"][cfg.gate_index],
-                            params["experts"], x2, key)
+            if cfg.has_valid:
+                def fn(params, x2, key, valid):
+                    return body(params["gates"][cfg.gate_index],
+                                params["experts"], x2, key, valid)
+            else:
+                def fn(params, x2, key):
+                    return body(params["gates"][cfg.gate_index],
+                                params["experts"], x2, key)
             return fn
 
         mesh = self._mesh(cfg.adaptive_r)
         especs = self._expert_specs(ep_axes)
 
-        def fn(params, x2, key):
+        def fn(params, x2, key, valid=None):
             expert_params = params["experts"]
-            in_specs = (
+            in_specs = [
                 jax.tree.map(lambda _: P(), params["gates"][cfg.gate_index]),
                 {k: P(*especs[k][:v.ndim]) for k, v in expert_params.items()},
                 P(ep_axes),
                 P(),
-            )
+            ]
+            call_args = [params["gates"][cfg.gate_index], expert_params,
+                         x2, key]
+            if cfg.has_valid:
+                in_specs.append(P(ep_axes))
+                call_args.append(valid)
             shmapped = jax.shard_map(
-                body, mesh=mesh, in_specs=in_specs,
+                body, mesh=mesh, in_specs=tuple(in_specs),
                 out_specs=(P(ep_axes), P()))
-            return shmapped(params["gates"][cfg.gate_index],
-                            expert_params, x2, key)
+            return shmapped(*call_args)
         return fn
 
     # ------------------------------------------------------------------

@@ -112,7 +112,8 @@ def capped_capacity_limit(num_samples, num_global_experts, top_k,
 
 
 def extract_critical(scores, top_k, capacity, loss_fn=losses.gshard_loss,
-                     batch_prioritized_routing=False, normalize_gate=True):
+                     batch_prioritized_routing=False, normalize_gate=True,
+                     token_mask=None):
     """Route tokens to experts with a *static* capacity.
 
     Args:
@@ -125,6 +126,11 @@ def extract_critical(scores, top_k, capacity, loss_fn=losses.gshard_loss,
         expert buffer slots, so higher-scoring tokens are dropped last.
       normalize_gate: renormalize the k gate values to sum to 1 (only for
         top_k > 1; reference fast_dispatch.py:173-175).
+      token_mask: optional [S] bool/int; False rows are padding tokens that
+        take no expert slot and produce zero output (the SPMD realization
+        of the reference's `inequivalent_tokens` variable per-rank token
+        counts, reference fast_dispatch.py:182-185 — static shapes stay
+        equal across shards, validity is data).
 
     Returns:
       (RoutingResult, l_aux). Tokens whose location >= capacity are dropped
@@ -142,8 +148,13 @@ def extract_critical(scores, top_k, capacity, loss_fn=losses.gshard_loss,
 
     masks_kse = jax.nn.one_hot(indices_ks, num_global_experts,
                                dtype=jnp.int32)             # [K, S, E]
+    if token_mask is not None:
+        tm = token_mask.astype(jnp.int32)
+        masks_kse = masks_kse * tm[None, :, None]
     # Gate per (k, token) = score at the selected expert.
     gates_ks = jnp.take_along_axis(scores, topk_indices, axis=1).T  # [K, S]
+    if token_mask is not None:
+        gates_ks = gates_ks * token_mask.astype(gates_ks.dtype)[None, :]
 
     l_aux = loss_fn(scores, topk_indices) if loss_fn is not None else None
 
@@ -153,6 +164,10 @@ def extract_critical(scores, top_k, capacity, loss_fn=losses.gshard_loss,
     else:
         order = None
     locations_ks, counts = compute_locations(masks_kse, order)
+    if token_mask is not None:
+        # padding tokens consumed no slot; mark them dropped outright
+        locations_ks = jnp.where(
+            token_mask.astype(bool)[None, :], locations_ks, -1)
 
     if top_k > 1 and normalize_gate:
         denom = jnp.clip(jnp.sum(gates_ks, axis=0),

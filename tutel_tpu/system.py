@@ -64,6 +64,7 @@ def init_data_model_parallel(group_count=1, backend=None,
     negative convention: group_count=-k means groups of size k.
     """
     global _LOCAL_SESSION
+    maybe_init_distributed()
     devices = tuple(devices if devices is not None else jax.devices())
     world = len(devices)
     if group_count < 0:
@@ -80,6 +81,30 @@ def init_data_model_parallel(group_count=1, backend=None,
     )
     _LOCAL_SESSION = env
     return env
+
+
+_DISTRIBUTED_READY = False
+
+
+def maybe_init_distributed():
+    """Multi-host bootstrap from launcher env (tutel_tpu.launcher.run).
+
+    The reference rendezvouses via torch.distributed + manual NCCL comm
+    init (reference communicate.py:67-77, custom_kernel.cpp:354-431); here
+    one `jax.distributed.initialize` gives every process the global device
+    view and XLA owns the collectives."""
+    global _DISTRIBUTED_READY
+    if _DISTRIBUTED_READY or not os.environ.get("TUTEL_TPU_AUTO_DISTRIBUTED"):
+        return
+    _DISTRIBUTED_READY = True
+    coord = os.environ.get("TUTEL_TPU_COORDINATOR")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["TUTEL_TPU_NUM_PROCESSES"]),
+            process_id=int(os.environ["TUTEL_TPU_PROCESS_ID"]))
+    else:
+        jax.distributed.initialize()
 
 
 def get_local_session() -> ParallelEnv:
