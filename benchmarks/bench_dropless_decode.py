@@ -1,0 +1,93 @@
+"""North-star benchmark: dropless MoE decode, 128 local experts, INT4.
+
+BASELINE.md north-star metric: decode tokens/sec/chip with 128 experts,
+dropless routing (capacity_factor=0), INT4 expert weights with dequant
+fused into the grouped GEMM. Steps are chained inside one jit so the
+number is device time.
+
+Run: python benchmarks/bench_dropless_decode.py [--tokens 256] [--bits 4]
+Prints one JSON line {"metric", "value", "unit", ...}.
+"""
+
+import argparse
+import json
+import time
+
+
+def run(args):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from tutel_tpu import moe
+    from tutel_tpu.ops import quant
+
+    platform = jax.devices()[0].platform
+    dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
+    layer = moe.moe_layer(
+        gate_type={"type": "top", "k": args.top,
+                   "capacity_factor": 0.0},           # dropless
+        experts={"type": "ffn", "num_experts_per_device": args.experts,
+                 "hidden_size_per_expert": args.hidden,
+                 "has_fc1_bias": False, "has_fc2_bias": False},
+        model_dim=args.model_dim, seeds=(1, 1, 1), dtype=dtype,
+        group=jax.devices()[:1])
+    params = layer.init(jax.random.PRNGKey(0))
+    if args.bits:
+        params = dict(params)
+        params["experts"] = quant.quantize_expert_params(
+            params["experts"], bits=args.bits)
+
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (args.tokens, args.model_dim)).astype(dtype)
+    # Dropless static capacity from a host-side probe, bucketed
+    # (the two-phase dispatch; per-step drift stays inside the bucket).
+    cap = layer.resolve_capacity(params, x, top_k=args.top)
+    cap = max(cap, 8)
+
+    def step(i, carry):
+        xx, acc = carry
+        out, _ = layer(params, xx + (acc * 1e-20).astype(dtype),
+                       key=jax.random.fold_in(jax.random.PRNGKey(2), i),
+                       capacity_override=cap,
+                       megablocks_size=args.megablocks_size)
+        return (xx, acc + jnp.sum(out.astype(jnp.float32)) * 1e-9)
+
+    @jax.jit
+    def loop(xx):
+        return lax.fori_loop(0, args.iters, step, (xx, jnp.float32(0)))
+
+    r = loop(x)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    r = loop(x)
+    jax.block_until_ready(r)
+    dt = (time.perf_counter() - t0) / args.iters
+    tokens_per_sec = args.tokens / dt
+    print(json.dumps({
+        "metric": "dropless_decode_tokens_per_sec_per_chip",
+        "value": round(tokens_per_sec, 1),
+        "unit": "tokens/s",
+        "config": {"experts": args.experts, "bits": args.bits,
+                   "top": args.top, "model_dim": args.model_dim,
+                   "hidden": args.hidden, "tokens": args.tokens,
+                   "capacity": int(cap), "platform": platform},
+        "step_ms": round(dt * 1e3, 3),
+    }))
+    return tokens_per_sec
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--experts", type=int, default=128)
+    parser.add_argument("--model_dim", type=int, default=2048)
+    parser.add_argument("--hidden", type=int, default=2048)
+    parser.add_argument("--tokens", type=int, default=256)
+    parser.add_argument("--top", type=int, default=2)
+    parser.add_argument("--bits", type=int, default=4)
+    parser.add_argument("--megablocks_size", type=int, default=0)
+    parser.add_argument("--iters", type=int, default=20)
+    run(parser.parse_args())
+
+
+if __name__ == "__main__":
+    main()

@@ -56,9 +56,15 @@ def run(args, log=print):
     n_tok = args.batch_size * (args.seq_len + 1)
     starts = np.random.RandomState(1).randint(
         0, len(corpus) - args.seq_len - 1, size=(args.steps, args.batch_size))
-    batches = np.stack([
-        np.stack([corpus[s:s + args.seq_len + 1] for s in row])
-        for row in starts])                     # [steps, B, T+1]
+    try:
+        from tutel_tpu import csrc
+        batches = csrc.sample_windows(
+            corpus, starts.reshape(-1).astype(np.int64),
+            args.seq_len + 1).reshape(args.steps, args.batch_size, -1)
+    except Exception:
+        batches = np.stack([
+            np.stack([corpus[s:s + args.seq_len + 1] for s in row])
+            for row in starts])                 # [steps, B, T+1]
     batches = jnp.asarray(batches)
 
     opt = optax.adamw(args.lr)
