@@ -1,0 +1,41 @@
+"""Example scripts as integration tests (the reference drives helloworld
+from its test suite the same way, reference tests/test_tutel.py:42-68)."""
+
+import argparse
+
+import pytest
+
+
+def test_helloworld_switch_no_recompile():
+    """Revisiting a previously-seen dynamic config must not recompile:
+    warm calls are far faster than first calls."""
+    from tutel_tpu.examples import helloworld_switch
+    timings, slow = helloworld_switch.run(argparse.Namespace(
+        batch_size=2, num_tokens=128, model_dim=128, hidden_size=128,
+        num_experts=2, steps=15, dtype="float32", device="cpu"),
+        log=lambda *a: None)
+    assert len(timings) == 5
+    assert not slow, f"configs that recompiled on revisit: {slow}"
+
+
+def test_helloworld_ddp_runs():
+    from tutel_tpu.examples import helloworld_ddp
+    loss = helloworld_ddp.run(argparse.Namespace(
+        batch_size=16, num_tokens=64, model_dim=64, hidden_size=64,
+        num_local_experts=1, top=2, num_steps=2, lr=1e-4,
+        dtype="float32", device="cpu"), log=lambda *a: None)
+    assert loss == loss  # finite
+
+
+def test_bandwidth_test_runs():
+    from tutel_tpu.examples import bandwidth_test
+    r = bandwidth_test.run(argparse.Namespace(
+        size_mb=2, iters=2, device="cpu", num_devices=0),
+        log=lambda *a: None)
+    assert set(r) == {"AllToAll", "AllReduce", "AllGather", "ReduceScatter"}
+
+
+def test_all_to_all_v_runs():
+    from tutel_tpu.examples import all_to_all_v
+    all_to_all_v.run(argparse.Namespace(capacity=16, cols=2, device="cpu"),
+                     log=lambda *a: None)
