@@ -11,7 +11,12 @@ Prints one JSON line {"metric", "value", "unit", ...}.
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def run(args):

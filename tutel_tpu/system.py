@@ -129,6 +129,23 @@ def record_time(sync_value=None):
     return time.perf_counter()
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir):
+    """Capture a device profile for the enclosed region
+    (SURVEY.md section 5: the reference has only wall timers,
+    reference system.py:73-79; on TPU `jax.profiler` gives the full
+    timeline — view with TensorBoard or xprof)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.effects_barrier()
+        jax.profiler.stop_trace()
+
+
 # ---------------------------------------------------------------------------
 # {rank}/{size} path templating (reference system.py:92-104)
 # ---------------------------------------------------------------------------
