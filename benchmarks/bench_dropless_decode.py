@@ -36,11 +36,19 @@ def run(args):
                  "has_fc1_bias": False, "has_fc2_bias": False},
         model_dim=args.model_dim, seeds=(1, 1, 1), dtype=dtype,
         group=jax.devices()[:1])
-    params = layer.init(jax.random.PRNGKey(0))
-    if args.bits:
-        params = dict(params)
-        params["experts"] = quant.quantize_expert_params(
-            params["experts"], bits=args.bits)
+    # Build + quantize params inside one jit: eager per-op dispatch of
+    # multi-GB weights is pathological on a remote-attached device.
+    @jax.jit
+    def make_params():
+        p = layer.init(jax.random.PRNGKey(0))
+        if args.bits:
+            p = dict(p)
+            p["experts"] = quant.quantize_expert_params(
+                p["experts"], bits=args.bits)
+        return p
+
+    params = make_params()
+    jax.block_until_ready(jax.tree.leaves(params))
 
     x = jax.random.normal(jax.random.PRNGKey(1),
                           (args.tokens, args.model_dim)).astype(dtype)
@@ -49,22 +57,23 @@ def run(args):
     cap = layer.resolve_capacity(params, x, top_k=args.top)
     cap = max(cap, 8)
 
-    def step(i, carry):
-        xx, acc = carry
-        out, _ = layer(params, xx + (acc * 1e-20).astype(dtype),
-                       key=jax.random.fold_in(jax.random.PRNGKey(2), i),
-                       capacity_override=cap,
-                       megablocks_size=args.megablocks_size)
-        return (xx, acc + jnp.sum(out.astype(jnp.float32)) * 1e-9)
-
+    # params must be jit *arguments* (closed-over arrays embed as HLO
+    # constants — hundreds of MB the remote-compile channel rejects).
     @jax.jit
-    def loop(xx):
+    def loop(params, xx):
+        def step(i, carry):
+            xx, acc = carry
+            out, _ = layer(params, xx + (acc * 1e-20).astype(dtype),
+                           key=jax.random.fold_in(jax.random.PRNGKey(2), i),
+                           capacity_override=cap,
+                           megablocks_size=args.megablocks_size)
+            return (xx, acc + jnp.sum(out.astype(jnp.float32)) * 1e-9)
         return lax.fori_loop(0, args.iters, step, (xx, jnp.float32(0)))
 
-    r = loop(x)
+    r = loop(params, x)
     jax.block_until_ready(r)
     t0 = time.perf_counter()
-    r = loop(x)
+    r = loop(params, x)
     jax.block_until_ready(r)
     dt = (time.perf_counter() - t0) / args.iters
     tokens_per_sec = args.tokens / dt

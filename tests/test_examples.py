@@ -39,3 +39,29 @@ def test_all_to_all_v_runs():
     from tutel_tpu.examples import all_to_all_v
     all_to_all_v.run(argparse.Namespace(capacity=16, cols=2, device="cpu"),
                      log=lambda *a: None)
+
+
+def test_custom_gate_expert_runs():
+    from tutel_tpu.examples import helloworld_custom_gate_expert
+    loss = helloworld_custom_gate_expert.run(argparse.Namespace(
+        num_tokens=64, model_dim=64, hidden_size=64, num_experts=4, top=2,
+        num_steps=2, device="cpu"), log=lambda *a: None)
+    assert loss == loss
+
+
+def test_from_scratch_runs():
+    from tutel_tpu.examples import helloworld_from_scratch
+    loss = helloworld_from_scratch.run(argparse.Namespace(
+        num_tokens=64, model_dim=64, hidden_size=64, num_experts=4, top=2,
+        capacity_factor=1.0, num_steps=2, device="cpu"),
+        log=lambda *a: None)
+    assert loss == loss
+
+
+def test_zero_example_runs():
+    from tutel_tpu.examples import helloworld_zero
+    loss = helloworld_zero.run(argparse.Namespace(
+        batch_size=8, num_tokens=16, model_dim=64, hidden_size=64,
+        num_experts=2, top=2, num_steps=2, lr=1e-3, device="cpu"),
+        log=lambda *a: None)
+    assert loss == loss

@@ -107,15 +107,19 @@ def tune_moe(layer, params, x, key=None, candidates=None, iters: int = 5,
     candidates = candidates if candidates is not None \
         else moe_candidates(layer)
 
+    # params travel in the loop carry so they are jit arguments, not
+    # closed-over constants (big params embedded as HLO constants overflow
+    # remote-compile channels).
     def make_step(cfg):
         def step(i, carry):
-            xx, acc = carry
-            out, l_aux = layer(params, xx + (acc * 1e-20).astype(xx.dtype),
+            p, xx, acc = carry
+            out, l_aux = layer(p, xx + (acc * 1e-20).astype(xx.dtype),
                                key=jax.random.fold_in(key, i),
                                training=training, **cfg)
-            return (xx, acc + jnp.sum(out.astype(jnp.float32)) * 1e-9)
+            return (p, xx, acc + jnp.sum(out.astype(jnp.float32)) * 1e-9)
         return step
 
-    return tune(make_step, candidates, (x, jnp.float32(0)), iters=iters,
+    return tune(make_step, candidates, (params, x, jnp.float32(0)),
+                iters=iters,
                 key_fn=lambda c: json.dumps(c, sort_keys=True),
                 store=store, store_key=store_key, verbose=verbose)

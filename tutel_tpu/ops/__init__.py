@@ -8,3 +8,5 @@ from .dispatch import fast_encode, fast_decode  # noqa: F401
 from .losses import gshard_loss, load_importance_loss  # noqa: F401
 from . import quant  # noqa: F401
 from .quant import QuantizedWeight, quantize, dequantize  # noqa: F401
+from . import ragged  # noqa: F401
+from . import grouped_gemm  # noqa: F401
