@@ -91,3 +91,28 @@ def test_moe_layer_quantized_inference(bits):
     rel = float(jnp.linalg.norm(out - ref) / (jnp.linalg.norm(ref) + 1e-9))
     budget = 0.03 if bits == 8 else 0.2
     assert rel < budget, rel
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_moe_layer_quantized_ep_8dev(bits):
+    """Quantized expert weights ride the 8-device EP mesh: multi-chip
+    INT8/INT4 serving (capability beyond the reference, whose megablocks
+    path is single-GPU only)."""
+    from tutel_tpu import moe
+
+    devices = jax.devices()[:8]
+    layer = moe.moe_layer(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 1.5},
+        experts={"type": "ffn", "num_experts_per_device": 2,
+                 "hidden_size_per_expert": 64, "has_fc1_bias": False,
+                 "has_fc2_bias": False},
+        model_dim=64, seeds=(1, 1, 1), group=devices)
+    params = layer.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (128, 64))
+    ref, _ = layer(layer.shard_params(params), x)
+    qp = dict(params)
+    qp["experts"] = quant.quantize_expert_params(params["experts"],
+                                                 bits=bits)
+    out, _ = layer(layer.shard_params(qp), x)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < (0.05 if bits == 8 else 0.3), rel

@@ -508,9 +508,15 @@ class MOELayer:
             normalize_gate=self.normalize_gate, token_mask=token_mask)
 
     def _expert_ctx(self, cfg: _VariantCfg, crit):
+        # dispatch_count indexes the *local* routing decision; after the EP
+        # all-to-all the expert buffer holds rows from every device, so
+        # count-based row narrowing (megablocks / quantized grouped GEMM)
+        # is only sound single-device (reference moe_layer.py:278-280
+        # scopes megablocks the same way).
         return SimpleNamespace(
             megablocks_size=cfg.megablocks_size,
-            dispatch_count=crit.dispatch_count,
+            dispatch_count=crit.dispatch_count if self.world_size == 1
+            else None,
             adaptive_degree=max(cfg.adaptive_r, 1),
             sharded_count=self.sharded_count,
             num_global_experts=self.num_global_experts,
@@ -652,7 +658,7 @@ class MOELayer:
                 call_args.append(valid)
             shmapped = jax.shard_map(
                 body, mesh=mesh, in_specs=tuple(in_specs),
-                out_specs=(P(ep_axes), P()))
+                out_specs=(P(ep_axes), P()), check_vma=False)
             return shmapped(*call_args)
         return fn
 
@@ -698,7 +704,7 @@ class MOELayer:
                 in_specs=(jax.tree.map(lambda _: P(),
                                        params["gates"][gate_index]),
                           P(ep_axes), P()),
-                out_specs=P())
+                out_specs=P(), check_vma=False)
             return shmapped(params["gates"][gate_index], x2, key)
         return fn
 
