@@ -58,7 +58,7 @@ def _gmm_kernel(counts_ref, x_ref, w_ref, s_ref, o_ref, *, bits, bm, bn,
 
 
 def grouped_gemm_quant(x, qw: QuantizedWeight, counts=None, *, bm=256,
-                       bn=256, interpret=False):
+                       bn=1024, interpret=False):
     """out[e] = x[e] @ dequant(qw[e]), rows >= counts[e] skipped (zeros).
 
     Args:
@@ -131,11 +131,13 @@ def quantized_ffn(x, params, ctx, activation_fn, output_dim,
     fc1_w, fc2_w = params["fc1_w"], params["fc2_w"]
     fc1_b, fc2_b = params.get("fc1_b"), params.get("fc2_b")
 
-    y = grouped_gemm_quant(x, fc1_w, counts, interpret=interpret)
+    import os
+    bn = int(os.environ.get("TUTEL_TPU_GMM_BN", "1024"))
+    y = grouped_gemm_quant(x, fc1_w, counts, bn=bn, interpret=interpret)
     if fc1_b is not None:
         y = y + fc1_b.astype(y.dtype)[:, None, :]
     y = activation_fn(y)
-    y = grouped_gemm_quant(y, fc2_w, counts, interpret=interpret)
+    y = grouped_gemm_quant(y, fc2_w, counts, bn=bn, interpret=interpret)
     if fc2_b is not None:
         bias = fc2_b.astype(y.dtype)[:, None, :]
         if bias.shape[-1] != output_dim:
