@@ -27,7 +27,7 @@ def main():
         "--batch_size", "16", "--num_tokens", "1024",
         "--model_dim", "2048", "--hidden_size", "2048",
         "--num_local_experts", "2", "--top", "2",
-        "--dtype", dtype, "--num_steps", "30", "--use_scan",
+        "--dtype", dtype, "--num_steps", "60", "--use_scan",
     ])
     _, avg_step_time = helloworld.run(args, log=lambda *a, **k: None)
     tokens_per_sec = 16384 / avg_step_time

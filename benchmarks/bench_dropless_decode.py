@@ -99,7 +99,7 @@ def main():
     parser.add_argument("--top", type=int, default=2)
     parser.add_argument("--bits", type=int, default=4)
     parser.add_argument("--megablocks_size", type=int, default=0)
-    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--iters", type=int, default=50)
     run(parser.parse_args())
 
 

@@ -88,3 +88,15 @@ def test_scan_matches_loop():
     l2, _ = helloworld.run(helloworld.build_args(base + ["--use_scan"]),
                            log=lambda *a, **k: None)
     assert all(abs(a - b) < 1e-6 for a, b in zip(l1, l2))
+
+
+def test_llama_ffn_expert_trains():
+    """llama_ffn (SwiGLU) expert type trains through helloworld
+    (reference experts/llama_ffn.py)."""
+    from tutel_tpu.examples import helloworld
+    args = helloworld.build_args(
+        ["--device", "cpu", "--num_steps", "4", "--batch_size", "2",
+         "--num_tokens", "32", "--model_dim", "64", "--hidden_size", "64",
+         "--top", "2", "--expert_type", "llama_ffn"])
+    losses, _ = helloworld.run(args, log=lambda *a, **k: None)
+    assert losses[-1] < losses[0]

@@ -116,3 +116,24 @@ def test_moe_layer_quantized_ep_8dev(bits):
     out, _ = layer(layer.shard_params(qp), x)
     rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
     assert rel < (0.05 if bits == 8 else 0.3), rel
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_llama_ffn_quantized(bits):
+    """SwiGLU expert with quantized w1/w2/w3 tracks fp32 within budget."""
+    from tutel_tpu import moe
+
+    layer = moe.moe_layer(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 0.0},
+        experts={"type": "llama_ffn", "num_experts_per_device": 4,
+                 "hidden_size_per_expert": 64},
+        model_dim=32, seeds=(1, 1, 1), group=jax.devices()[:1])
+    params = layer.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 32))
+    ref, _ = layer(params, x)
+    qp = dict(params)
+    qp["experts"] = quant.quantize_expert_params(params["experts"],
+                                                 bits=bits)
+    out, _ = layer(qp, x)
+    rel = float(jnp.linalg.norm(out - ref) / (jnp.linalg.norm(ref) + 1e-9))
+    assert rel < (0.05 if bits == 8 else 0.35), rel

@@ -6,7 +6,8 @@ Sharding note: the reference flattens each weight and ZeRO-shards it across
 `sharded_count` ranks, all-gathering per forward (llama_ffn.py:9-16,33-36).
 On TPU the same capability is expressed declaratively: the MoE layer places
 these [E, M, H] / [E, H, M] tensors on the mesh with a sharded PartitionSpec
-and XLA inserts the all-gather — see parallel/moe_shard.py.
+and XLA inserts the all-gather — see impls/moe_layer.py
+(_expert_specs / _gather_expert_params).
 """
 
 import dataclasses
@@ -44,6 +45,9 @@ class LlamaFFNNetwork:
 
     def apply(self, params, x, ctx=None):
         """x: [E_local, rows, M] -> [E_local, rows, M]."""
+        from ..ops.quant import QuantizedWeight
+        if isinstance(params["w1"], QuantizedWeight):
+            return self._apply_quantized(params, x, ctx)
         w1 = params["w1"].astype(x.dtype)
         w2 = params["w2"].astype(x.dtype)
         w3 = params["w3"].astype(x.dtype)
@@ -54,6 +58,22 @@ class LlamaFFNNetwork:
         y = self.activation_fn(y1) * y2
         return jnp.einsum("ech,ehm->ecm", y, w3,
                           preferred_element_type=jnp.float32).astype(x.dtype)
+
+    def _apply_quantized(self, params, x, ctx=None):
+        """Weight-only INT8/INT4 SwiGLU via the fused-dequant grouped GEMM
+        (single-device row narrowing from ctx.dispatch_count, like ffn)."""
+        import os
+        from ..ops.grouped_gemm_pallas import grouped_gemm_quant
+        counts = getattr(ctx, "dispatch_count", None) if ctx else None
+        interpret = jax.devices()[0].platform != "tpu"
+        bn = int(os.environ.get("TUTEL_TPU_GMM_BN", "1024"))
+        y1 = grouped_gemm_quant(x, params["w1"], counts, bn=bn,
+                                interpret=interpret)
+        y2 = grouped_gemm_quant(x, params["w2"], counts, bn=bn,
+                                interpret=interpret)
+        y = self.activation_fn(y1) * y2
+        return grouped_gemm_quant(y, params["w3"], counts, bn=bn,
+                                  interpret=interpret)
 
 
 ExpertModule = LlamaFFNNetwork
