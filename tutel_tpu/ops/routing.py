@@ -151,8 +151,13 @@ def extract_critical(scores, top_k, capacity, loss_fn=losses.gshard_loss,
     if token_mask is not None:
         tm = token_mask.astype(jnp.int32)
         masks_kse = masks_kse * tm[None, :, None]
-    # Gate per (k, token) = score at the selected expert.
-    gates_ks = jnp.take_along_axis(scores, topk_indices, axis=1).T  # [K, S]
+    # Gate per (k, token) = score at the selected expert. One-hot
+    # contraction instead of take_along_axis: [S, small-E] gathers lower
+    # to a pathological layout on TPU (profiled at ~4 GB/s), the masked
+    # sum is a VPU-friendly elementwise+reduce.
+    gates_ks = jnp.sum(
+        jax.nn.one_hot(indices_ks, num_global_experts,
+                       dtype=scores.dtype) * scores[None], axis=2)  # [K, S]
     if token_mask is not None:
         gates_ks = gates_ks * token_mask.astype(gates_ks.dtype)[None, :]
 
