@@ -1,0 +1,73 @@
+"""Continuous-batching decode engine: join/leave, masking, no-recompile."""
+
+import jax
+import jax.numpy as jnp
+
+from tutel_tpu import moe
+from tutel_tpu.serving import MoeDecodeEngine, Request
+
+
+def _layer():
+    return moe.moe_layer(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 0.0},
+        experts={"type": "ffn", "num_experts_per_device": 4,
+                 "hidden_size_per_expert": 64},
+        model_dim=32, seeds=(1, 1, 1), group=jax.devices()[:1])
+
+
+def test_engine_completes_all_requests():
+    layer = _layer()
+    params = layer.init(jax.random.PRNGKey(0))
+    eng = MoeDecodeEngine(layer, params, max_batch=4)
+    reqs = [Request(uid=i,
+                    state=jax.random.normal(jax.random.fold_in(
+                        jax.random.PRNGKey(1), i), (32,)),
+                    remaining=2 + i % 3)
+            for i in range(9)]          # more requests than slots
+    finals = eng.run(reqs)
+    assert set(finals) == set(range(9))
+    assert eng.stats["finished"] == 9
+    assert eng.active == 0
+    # continuous batching actually interleaved: more joins than slots
+    assert eng.stats["joined"] == 9
+    assert all(jnp.isfinite(v).all() for v in finals.values())
+
+
+def test_partial_fill_does_not_recompile():
+    """Fill levels within one capacity bucket share compiled variants:
+    the jit cache must not grow per fill level."""
+    layer = _layer()
+    params = layer.init(jax.random.PRNGKey(0))
+    eng = MoeDecodeEngine(layer, params, max_batch=8, capacity_bucket=64)
+    for n in (3, 5, 8, 2):
+        for r in range(eng.max_batch):
+            eng._slots[r] = None
+        eng._free = list(range(eng.max_batch))[::-1]
+        for i in range(n):
+            eng.try_add(Request(uid=(n, i),
+                                state=jnp.ones((32,)), remaining=1))
+        eng.step()
+    # one capacity probe bucket (64 covers all fills) -> one variant
+    assert len(eng._capacity_cache) == 1
+    assert len(layer._jit_cache) == 1, len(layer._jit_cache)
+
+
+def test_masked_tail_produces_no_output_effect():
+    """Engine output for an active request equals the dense layer run on
+    just that request (ample capacity, single active slot)."""
+    layer = moe.moe_layer(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 2.0},
+        experts={"type": "ffn", "num_experts_per_device": 4,
+                 "hidden_size_per_expert": 64},
+        model_dim=32, seeds=(1, 1, 1), group=jax.devices()[:1])
+    params = layer.init(jax.random.PRNGKey(0))
+    eng = MoeDecodeEngine(layer, params, max_batch=4)
+    state = jax.random.normal(jax.random.PRNGKey(5), (32,))
+    eng.try_add(Request(uid="a", state=state, remaining=1))
+    key = jax.random.PRNGKey(9)
+    out = eng.step(key)["a"]
+    ref, _ = layer(params, jnp.tile(state[None], (4, 1)), key=key,
+                   valid_tokens=1,
+                   capacity_override=eng._capacity_cache[
+                       eng.capacity_bucket])
+    assert jnp.allclose(out, ref[0], atol=1e-5)
