@@ -7,6 +7,7 @@ The gate protocol mirrors the reference's Gate-module contract
 """
 
 import dataclasses
+import os
 from typing import Any, Dict
 
 import jax.numpy as jnp
@@ -20,11 +21,14 @@ class LinearTopKGate:
     num_global_experts: int
     k: int = 1
     fp32_gate: bool = False
-    capacity_factor: float = 1.0
+    capacity_factor: float = None
     gate_noise: float = 0.0
 
     def __post_init__(self):
         self.top_k = min(self.num_global_experts, int(self.k))
+        if self.capacity_factor is None:
+            # CAP_FACTOR env default (reference moe_layer.py:226)
+            self.capacity_factor = float(os.environ.get("CAP_FACTOR", 1.0))
 
     def init(self, key, dtype=jnp.float32) -> Dict[str, Any]:
         wg_dtype = jnp.float32 if self.fp32_gate else dtype

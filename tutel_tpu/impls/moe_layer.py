@@ -29,6 +29,7 @@ Architecture (TPU-first, not a port):
 
 import dataclasses
 import math
+import os
 from types import SimpleNamespace
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -124,7 +125,14 @@ class MOELayer:
         self.result_func = result_func
         self.model_dim = model_dim
         self.is_postscore = is_postscore
+        # Debug env knobs with reference semantics (SURVEY.md section 5
+        # config list): SKIP_MOE (moe_layer.py:114,256), BATCH_PRIO
+        # (moe_layer.py:149), SKIP_A2A (communicate.py:40,184).
+        self.skip_moe = int(os.environ.get("SKIP_MOE", "0")) != 0
+        self.skip_a2a = int(os.environ.get("SKIP_A2A", "0")) != 0
         self.batch_prioritized_routing = batch_prioritized_routing
+        if int(os.environ.get("BATCH_PRIO", "0")) != 0:
+            self.batch_prioritized_routing = True
         self.normalize_gate = normalize_gate
         self.is_gshard_loss = is_gshard_loss
         self.a2a_ffn_overlap_degree = a2a_ffn_overlap_degree
@@ -360,6 +368,10 @@ class MOELayer:
         pass `capacity_override` (from `resolve_capacity`, bucketed) to keep
         tight buffers under an outer jit.
         """
+        if self.skip_moe:
+            # reference moe_layer.py:256-258: bypass entirely
+            out = self.result_func(x) if self.result_func else x
+            return out, jnp.zeros((), jnp.float32)
         gate = self.gates[gate_index]
         if a2a_ffn_overlap_degree is not None:
             self.a2a_ffn_overlap_degree = a2a_ffn_overlap_degree
@@ -592,6 +604,8 @@ class MOELayer:
                     eff = self._gather_expert_params(expert_params, cfg)
 
                 def a2a(t, in_dim, out_dim):
+                    if self.skip_a2a:
+                        return t
                     ct = t if cfg.a2a_dtype is None \
                         else t.astype(cfg.a2a_dtype)
                     if cfg.use_2dh:
