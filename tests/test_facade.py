@@ -1,0 +1,67 @@
+"""Facade completeness: every reference public symbol has a counterpart
+(reference tutel/moe.py, tutel/net.py, tutel/system.py, tutel/jit.py)."""
+
+import os
+import tempfile
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from tutel_tpu import moe, net, system, jit
+
+
+def test_fast_dispatcher_object_api():
+    disp = moe.fast_dispatcher(num_global_experts=4, capacity=3,
+                               model_dim=8)
+    scores = jax.nn.softmax(
+        jax.random.normal(jax.random.PRNGKey(0), (10, 4)), axis=1)
+    crit, _ = moe.extract_critical(scores, 2, capacity=3, loss_fn=None)
+    disp.update(crit.indices, crit.locations, crit.gates)
+    x = jax.random.normal(jax.random.PRNGKey(1), (10, 8))
+    z = disp.decode(disp.encode(x))
+    ref = moe.fast_decode(moe.fast_encode(x, crit), crit)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(ref), atol=1e-6)
+
+
+def test_cumsum_export():
+    c = moe.fast_cumsum_sub_one(jnp.ones((4, 2), jnp.int32))
+    assert int(c[-1, 0]) == 3
+
+
+def test_net_extras_in_shard_map():
+    mesh = net.create_standalone_group(jax.devices()[:4])
+
+    def body(v):
+        s, n = net.zero_scatter(v, "x")
+        back = net.zero_gather(s, "x")[:n].reshape(v.shape)
+        fw = net.allreduce_forward(v, "x")
+        bwg = jax.grad(lambda t: net.allreduce_backward(t, "x").sum())(v)
+        a2a1 = net.all_to_all_single(
+            jnp.tile(v[:4][None], (4, 1)), "x")
+        return back, fw, bwg, a2a1
+
+    back, fw, bwg, _ = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=P(), out_specs=P(),
+        check_vma=False))(jnp.arange(12.0))
+    np.testing.assert_array_equal(np.asarray(back)[:12], np.arange(12.0))
+    # allreduce_forward sums over 4 devices; backward grad of
+    # allreduce_backward is psum of ones = world size
+    assert float(np.asarray(fw)[0]) == 0.0
+    assert float(np.asarray(bwg)[0]) == 4.0
+
+
+def test_jit_pallas_kernel():
+    double = jit.pallas_kernel(lambda v: v * 2)
+    np.testing.assert_array_equal(np.asarray(double(jnp.arange(8.0))),
+                                  np.arange(8.0) * 2)
+
+
+def test_system_save_load_and_misc():
+    with tempfile.TemporaryDirectory() as d:
+        system.save(jnp.arange(5), os.path.join(d, "t"))
+        assert int(system.load(os.path.join(d, "t")).sum()) == 10
+    assert system.init_affinity_at_program_beginning() is None
+    assert net.get_world_rank() == 0
+    net.barrier()

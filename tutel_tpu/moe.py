@@ -10,3 +10,6 @@ def top_k_routing(scores, top_k, capacity, **kwargs):
     """Convenience alias (reference exports extract_critical as
     top_k_routing)."""
     return extract_critical(scores, top_k, capacity, **kwargs)
+
+from .ops.routing import cumsum_sub_one as fast_cumsum_sub_one  # noqa: F401,E402
+from .ops.dispatch import fast_dispatcher, TutelMoeFastDispatcher  # noqa: F401,E402

@@ -339,3 +339,70 @@ class ZeroOptimizer:
                                   tiled=True)
             return full[: p.size].reshape(p.shape).astype(p.dtype)
         return jax.tree.map(ag, new_shards, params), state
+
+
+# ---------------------------------------------------------------------------
+# Remaining reference-facade symbols (reference net.py:6-12)
+# ---------------------------------------------------------------------------
+
+def get_world_rank(mesh_or_axis=None):
+    """Process index (reference communicate.py get_world_rank)."""
+    return jax.process_index()
+
+
+def barrier():
+    """Drain outstanding device work (reference net barrier)."""
+    jax.effects_barrier()
+
+
+def create_standalone_group(devices=None):
+    """A mesh over an explicit device subset
+    (reference communicate.py:44-47)."""
+    import numpy as np
+    from jax.sharding import Mesh
+    devices = tuple(devices if devices is not None else jax.devices())
+    return Mesh(np.asarray(devices), ("x",))
+
+
+def all_to_all_single(x, axis):
+    """Flat dim-0 all_to_all (reference communicate.py all_to_all_single)."""
+    return simple_all_to_all(x, axis)
+
+
+# Differentiable aliases: JAX collectives differentiate natively, so the
+# reference's autograd-wrapped variants coincide with the simple ones.
+all_gather = simple_all_gather
+reduce_scatter = simple_reduce_scatter
+
+
+def allreduce_forward(x, axis):
+    """psum in forward, identity in backward
+    (reference communicate.py:505-515)."""
+    @jax.custom_vjp
+    def f(x):
+        return lax.psum(x, axis)
+    f.defvjp(lambda x: (lax.psum(x, axis), None), lambda _, g: (g,))
+    return f(x)
+
+
+def allreduce_backward(x, axis):
+    """identity in forward, psum in backward
+    (reference communicate.py:517-527)."""
+    @jax.custom_vjp
+    def f(x):
+        return x
+    f.defvjp(lambda x: (x, None), lambda _, g: (lax.psum(g, axis),))
+    return f(x)
+
+
+def zero_scatter(x, axis):
+    """Keep this device's flat shard of x, padded to divide evenly
+    (reference communicate.py:566-574). Returns (shard, full_numel)."""
+    size = lax.axis_size(axis)
+    idx = lax.axis_index(axis)
+    flat = x.reshape(-1)
+    numel = flat.shape[0]
+    pad = (-numel) % size
+    if pad:
+        flat = jnp.pad(flat, (0, pad))
+    return flat.reshape(size, -1)[idx], numel

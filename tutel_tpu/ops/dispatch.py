@@ -254,3 +254,54 @@ def fast_encode_onehot(data, crit: RoutingResult, is_postscore=True):
     out = jnp.einsum("sn,sm->nm", oh, data,
                      preferred_element_type=jnp.float32).astype(data.dtype)
     return out.reshape(e, c, m)
+
+
+class TutelMoeFastDispatcher:
+    """Reusable dispatcher object (reference fast_dispatch.py:85-136
+    `TutelMoeFastDispatcher`): `update(...)` installs a routing decision,
+    then `encode`/`decode` apply it. Stateless math — the object only
+    carries the RoutingResult; kernel caching is jit's job."""
+
+    def __init__(self, num_global_experts, capacity, model_dim,
+                 dispatch_dtype=None):
+        self.num_global_experts = int(num_global_experts)
+        self.capacity = int(capacity)
+        self.model_dim = int(model_dim)
+        self.dtype = dispatch_dtype
+        self._crit = None
+        self.is_postscore = True
+
+    def update(self, indices_, locations_, gates_, capacity=None,
+               is_postscore=True):
+        import jax.numpy as jnp
+        if capacity is not None:
+            self.capacity = int(capacity)
+        self.is_postscore = is_postscore
+        ind = jnp.asarray(indices_, jnp.int32)
+        if ind.ndim == 1:
+            ind = ind[None]
+        loc = jnp.asarray(locations_, jnp.int32)
+        if loc.ndim == 1:
+            loc = loc[None]
+        g = jnp.asarray(gates_)
+        if g.ndim == 1:
+            g = g[None]
+        counts = jnp.sum(jax.nn.one_hot(
+            ind.reshape(-1), self.num_global_experts, dtype=jnp.int32),
+            axis=0)
+        self._crit = RoutingResult(
+            num_global_experts=self.num_global_experts, indices=ind,
+            locations=loc, gates=g, capacity=self.capacity,
+            dispatch_count=counts)
+
+    def encode(self, data):
+        assert self._crit is not None, "call update() first"
+        d = data if self.dtype is None else data.astype(self.dtype)
+        return fast_encode(d, self._crit, self.is_postscore)
+
+    def decode(self, data):
+        assert self._crit is not None, "call update() first"
+        return fast_decode(data, self._crit, self.is_postscore)
+
+
+fast_dispatcher = TutelMoeFastDispatcher

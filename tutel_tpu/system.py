@@ -178,3 +178,30 @@ def cache_set(key, value):
 
 def cache_clear():
     _CACHE.clear()
+
+
+# ---------------------------------------------------------------------------
+# Tensor save/load (reference system.py:81-90 torch.save/load wrappers)
+# ---------------------------------------------------------------------------
+
+def save(t, path):
+    import numpy as np
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    np.save(path if path.endswith(".npy") else path + ".npy",
+            np.asarray(jax.device_get(t)))
+
+
+def load(path, device=None):
+    import numpy as np
+    arr = np.load(path if path.endswith(".npy") else path + ".npy")
+    import jax.numpy as jnp
+    x = jnp.asarray(arr)
+    return jax.device_put(x, device) if device is not None else x
+
+
+def init_affinity_at_program_beginning():
+    """No-op on TPU (reference system.py:10-25 pins NUMA affinity for GPU
+    worker processes; the TPU runtime owns core placement)."""
+    return None
