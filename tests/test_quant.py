@@ -137,3 +137,35 @@ def test_llama_ffn_quantized(bits):
     out, _ = layer(qp, x)
     rel = float(jnp.linalg.norm(out - ref) / (jnp.linalg.norm(ref) + 1e-9))
     assert rel < (0.05 if bits == 8 else 0.35), rel
+
+
+def test_lm_perplexity_delta_int4():
+    """BASELINE.md: 'Perplexity vs FP16 baseline within stated
+    quantization delta' — eval the Transformer-MoE LM with INT8/INT4
+    expert weights and bound the nll increase."""
+    import math
+    from tutel_tpu.models import TransformerMoE, TransformerMoEConfig
+
+    cfg = TransformerMoEConfig(
+        vocab_size=61, max_len=32, model_dim=32, num_heads=2, num_layers=2,
+        ffn_hidden=64, moe_every=1, num_local_experts=4, top_k=2,
+        expert_hidden=64)
+    model = TransformerMoE(cfg, group=jax.devices()[:1])
+    params = model.init(jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 32), 0,
+                                cfg.vocab_size)
+    _, (nll_ref, _) = model.loss(params, tokens, training=False)
+
+    for bits, budget in ((8, 0.01), (4, 0.12)):
+        qp = jax.tree.map(lambda x: x, params)   # deep-ish copy of lists
+        for i in model.moe_layers:
+            blk = dict(qp["blocks"][i])
+            moe_params = dict(blk["moe"])
+            moe_params["experts"] = quant.quantize_expert_params(
+                moe_params["experts"], bits=bits)
+            blk["moe"] = moe_params
+            qp["blocks"][i] = blk
+        _, (nll_q, _) = model.loss(qp, tokens, training=False)
+        delta = abs(float(nll_q) - float(nll_ref))
+        ppl_ratio = math.exp(delta)
+        assert ppl_ratio < 1 + budget * 10, (bits, delta, ppl_ratio)
