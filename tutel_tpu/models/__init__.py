@@ -8,3 +8,5 @@ Transformer-MoE LM is a first-class model family.
 
 from . import transformer  # noqa: F401
 from .transformer import TransformerMoEConfig, TransformerMoE  # noqa: F401
+from . import vision  # noqa: F401
+from .vision import VisionMoEConfig, VisionMoE  # noqa: F401

@@ -62,7 +62,16 @@ def _inverse_slot(crit: RoutingResult):
 
 
 def _take_rows(data, idx):
-    """Gather rows with out-of-range -> 0 (the dropped-token guard)."""
+    """Gather rows with out-of-range -> 0 (the dropped-token guard).
+
+    TUTEL_TPU_GATHER_MODE=clipwhere switches to clip-gather + mask, which
+    lowers to a different XLA gather emission (perf A/B knob)."""
+    import os
+    if os.environ.get("TUTEL_TPU_GATHER_MODE") == "clipwhere":
+        n = data.shape[0]
+        rows = jnp.take(data, jnp.minimum(idx, n - 1), axis=0, mode="clip")
+        return jnp.where((idx < n).reshape(idx.shape + (1,) * (data.ndim - 1)),
+                         rows, 0)
     return jnp.take(data, idx, axis=0, mode="fill", fill_value=0)
 
 
