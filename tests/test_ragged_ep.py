@@ -1,0 +1,59 @@
+"""True-dropless ragged EP (ops/ragged_ep.py) vs the padded dropless path.
+
+Both compute the same math; ragged ships only routed tokens through
+lax.ragged_all_to_all (SURVEY.md section 7 step 6's full form)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tutel_tpu import moe
+
+
+def _layer(postscore=True, nle=2, hidden=64, model_dim=32):
+    return moe.moe_layer(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 0.0},
+        experts={"type": "ffn", "num_experts_per_device": nle,
+                 "hidden_size_per_expert": hidden},
+        model_dim=model_dim, seeds=(1, 1, 1), is_postscore=postscore,
+        group=jax.devices()[:8])
+
+
+@pytest.mark.parametrize("postscore", [True, False])
+def test_ragged_matches_padded(postscore):
+    layer = _layer(postscore)
+    params = layer.shard_params(layer.init(jax.random.PRNGKey(0)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (256, 32))
+    ref, la1 = layer(params, x)
+    out, la2 = layer(params, x, use_ragged_ep=True)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 1e-5, rel
+    assert abs(float(la1) - float(la2)) < 1e-6
+
+
+def test_ragged_imbalanced_routing():
+    """Biased gate -> heavy expert imbalance; the ragged path must carry
+    the load exactly (max_recv generous)."""
+    layer = _layer()
+    params = layer.shard_params(layer.init(jax.random.PRNGKey(0)))
+    # bias the gate toward expert 0 so one device gets most tokens
+    g0 = dict(params["gates"][0])
+    g0["wg"] = g0["wg"].at[:, 0].add(3.0)
+    params = dict(params)
+    params["gates"] = [g0]
+    x = jax.random.normal(jax.random.PRNGKey(1), (256, 32))
+    ref, _ = layer(params, x)
+    out, _ = layer(params, x, use_ragged_ep=True, max_recv=1024)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 1e-5, rel
+
+
+def test_ragged_guard_rails():
+    layer = _layer()
+    params = layer.shard_params(layer.init(jax.random.PRNGKey(0)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (256, 32))
+    with pytest.raises(AssertionError):
+        layer(params, x, use_ragged_ep=True, training=True)
+    with pytest.raises(AssertionError):
+        layer(params, x, use_ragged_ep=True, capacity_factor=1.0)

@@ -111,3 +111,30 @@ class FusedExpertsNetwork:
 
 
 ExpertModule = FusedExpertsNetwork
+
+
+def _grouped_apply_ffn(self, params, rows, group_sizes, ctx=None):
+    """Ragged-rows flavor for the true-dropless EP path (ops/ragged_ep.py):
+    rows [N, M] grouped by local expert with group_sizes [E_l]."""
+    from ..ops import grouped_gemm
+    from ..ops.quant import QuantizedWeight, dequantize
+    fc1_w, fc2_w = params["fc1_w"], params["fc2_w"]
+    if isinstance(fc1_w, QuantizedWeight):
+        fc1_w = dequantize(fc1_w, rows.dtype)
+    if isinstance(fc2_w, QuantizedWeight):
+        fc2_w = dequantize(fc2_w, rows.dtype)
+    y = grouped_gemm.grouped_gemm(rows, fc1_w, group_sizes)
+    if params.get("fc1_b") is not None:
+        y = grouped_gemm.grouped_bias_add(y, params["fc1_b"], group_sizes)
+    y = self.activation_fn(y)
+    y = grouped_gemm.grouped_gemm(y, fc2_w, group_sizes)
+    if params.get("fc2_b") is not None:
+        bias = params["fc2_b"]
+        if bias.shape[-1] != self.output_dim:
+            bias = jnp.pad(bias, ((0, 0),
+                                  (0, self.output_dim - bias.shape[-1])))
+        y = grouped_gemm.grouped_bias_add(y, bias, group_sizes)
+    return y
+
+
+FusedExpertsNetwork.apply_grouped = _grouped_apply_ffn

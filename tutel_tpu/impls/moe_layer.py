@@ -65,6 +65,7 @@ class _VariantCfg:
     batch_prioritized: bool
     a2a_dtype: Any = None            # payload dtype for the a2a (bf16/fp8)
     has_valid: bool = False          # per-shard valid-token masking
+    ragged_max_recv: int = 0         # >0: true-dropless ragged EP path
 
 
 class MOELayer:
@@ -352,7 +353,8 @@ class MOELayer:
                  a2a_ffn_overlap_degree=None, reserve_dims=1,
                  inequivalent_tokens=False, valid_tokens=None,
                  adaptive_r=None, megablocks_size=0, training=False,
-                 capacity_override=None):
+                 capacity_override=None, use_ragged_ep=False,
+                 max_recv=None):
         """Forward pass. Returns (output, l_aux).
 
         Mirrors the reference forward's per-call dynamic arguments
@@ -440,6 +442,20 @@ class MOELayer:
                            top_k * local_samples,
                            self._alignment(overlap_degree, megablocks_size)))
 
+        ragged_max_recv = 0
+        if use_ragged_ep:
+            # True-dropless ragged EP (ops/ragged_ep.py): tokens ride
+            # lax.ragged_all_to_all instead of padded capacity buffers.
+            assert self.world_size > 1 and self.sharded_count == 1, (
+                "ragged EP needs a multi-device pure-EP layout")
+            assert cf == 0 and not training and valid_tokens is None \
+                and not self._flat_2dh() and megablocks_size == 0, (
+                "ragged EP is the inference dropless path "
+                "(capacity_factor=0, no masking/2DH/megablocks)")
+            t_rows = top_k * local_samples
+            ragged_max_recv = int(max_recv) if max_recv else \
+                routing_ops.align_capacity(2 * t_rows, 128)
+
         cfg = _VariantCfg(
             gate_index=gate_index, top_k=top_k, capacity=capacity,
             adaptive_r=r, overlap_degree=overlap_degree,
@@ -447,7 +463,8 @@ class MOELayer:
             use_2dh=self._flat_2dh(),
             batch_prioritized=self.batch_prioritized_routing,
             a2a_dtype=self.a2a_dtype,
-            has_valid=valid_tokens is not None)
+            has_valid=valid_tokens is not None,
+            ragged_max_recv=ragged_max_recv)
 
         fn = self._jit_cache.get(cfg)
         if fn is None:
@@ -586,6 +603,19 @@ class MOELayer:
             crit, l_aux = self._routing_local(
                 cfg, gate_params, x_local, local_key, token_mask)
             ctx = self._expert_ctx(cfg, crit)
+
+            if cfg.ragged_max_recv:
+                from ..ops import ragged_ep
+
+                def grouped_apply(p, rows, gs, c):
+                    return self.experts.apply_grouped(p, rows, gs, c)
+
+                out = ragged_ep.ragged_ep_forward(
+                    x_local, crit, expert_params, grouped_apply, ep_axes,
+                    cfg.ragged_max_recv, is_postscore=self.is_postscore,
+                    ctx=ctx)
+                return out, lax.pmean(l_aux, ep_axes)
+
             y = dispatch_ops.fast_encode(x_local, crit, self.is_postscore)
 
             if w == 1:

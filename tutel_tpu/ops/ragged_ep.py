@@ -1,0 +1,100 @@
+"""True-dropless expert parallelism over ragged all-to-all.
+
+The padded EP path ships [E_global, C, M] capacity buffers through the
+all-to-all even when most slots are empty. This module sends only the
+routed tokens (the reference's batch_all_to_all_v purpose,
+reference custom_kernel.cpp:463-490), the full form of SURVEY.md §7 step 6:
+
+  local routing -> expert-sorted ragged rows (ops/ragged.py) ->
+  `net.batch_all_to_all_v` (rows grouped by destination device) ->
+  local re-sort by expert -> `lax.ragged_dot` grouped FFN ->
+  un-sort -> ragged return a2a -> ragged combine.
+
+Static shapes: receive buffers are `max_recv` rows (a bucketed bound the
+caller picks — the same alignment-bucket discipline as dropless
+capacities). Inference path (the return a2a and ragged re-sorts carry no
+VJP); training uses the padded path.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .. import net
+from . import ragged as ragged_ops
+
+
+def _expert_ids_from_counts(per_src_expert_counts, recv_starts, n_rows):
+    """[n_rows] expert-local id per received row (sentinel E_l for tail).
+
+    Received rows are src-major blocks; inside block s the rows are
+    expert-sorted with per_src_expert_counts[s, e] rows per expert.
+    """
+    w, e_l = per_src_expert_counts.shape
+    rows = jnp.arange(n_rows, dtype=jnp.int32)
+    # block id per row: number of starts <= row (minus 1)
+    src = jnp.sum(rows[:, None] >= recv_starts[None, :], axis=1) - 1
+    src = jnp.clip(src, 0, w - 1)
+    within = rows - recv_starts[src]
+    # expert id inside block: count of expert-prefix sums <= within
+    csum = jnp.cumsum(per_src_expert_counts, axis=1)          # [W, E_l]
+    eid = jnp.sum(within[:, None] >= csum[src, :], axis=1)
+    total = recv_starts[-1] + jnp.sum(per_src_expert_counts[-1])
+    return jnp.where(rows < total, jnp.clip(eid, 0, e_l - 1), e_l), total
+
+
+def ragged_ep_forward(x_local, crit, expert_params, expert_apply, axis,
+                      max_recv, is_postscore=True, ctx=None):
+    """Dropless EP forward with ragged exchanges.
+
+    Args:
+      x_local: [S_l, M] this device's tokens.
+      crit: local RoutingResult over E_global experts.
+      expert_params: local expert params ([E_l, ...] leading dim).
+      expert_apply: fn(params, y [E_l? ...], ctx) — invoked through the
+        grouped-GEMM path via a ragged [N, M] buffer + group sizes, so it
+        must be the grouped flavor (see MOELayer._ragged_expert_fn).
+      axis: EP mesh axis name (or tuple).
+      max_recv: static row capacity of the receive buffer per device.
+    Returns:
+      [S_l, M] combined output.
+    """
+    w = lax.axis_size(axis) if not isinstance(axis, tuple) else 1
+    if isinstance(axis, tuple):
+        w = 1
+        for a in axis:
+            w *= lax.axis_size(a)
+    e_g = crit.num_global_experts
+    assert e_g % w == 0, (e_g, w)
+    e_l = e_g // w
+
+    rd = ragged_ops.make_ragged(crit)
+    rows = ragged_ops.encode_ragged(x_local, rd, is_postscore=is_postscore)
+    t = rows.shape[0]                                     # K * S_l
+
+    # per-destination-device row counts (experts are contiguous per device)
+    send_counts = jnp.sum(rd.group_sizes.reshape(w, e_l), axis=1)
+    recv_rows, recv_counts = net.batch_all_to_all_v(
+        rows, send_counts, axis, output_size=max_recv)
+    # per-(src, local-expert) counts: each src sends me its counts for my
+    # expert range
+    counts_matrix = net.simple_all_to_all(
+        rd.group_sizes.reshape(w, e_l), axis)             # [W, E_l]
+
+    recv_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(recv_counts)[:-1]])
+    eid, total = _expert_ids_from_counts(counts_matrix, recv_starts,
+                                         max_recv)
+    # stable sort by expert id groups rows for the grouped GEMM
+    order = jnp.argsort(eid, stable=True).astype(jnp.int32)
+    inverse = jnp.argsort(order).astype(jnp.int32)
+    grouped = jnp.take(recv_rows, order, axis=0)
+    group_sizes = jnp.sum(counts_matrix, axis=0).astype(jnp.int32)  # [E_l]
+
+    y = expert_apply(expert_params, grouped, group_sizes, ctx)
+
+    y = jnp.take(y, inverse, axis=0)                      # back to src-major
+    back_rows, _ = net.batch_all_to_all_v(
+        y, recv_counts, axis, output_size=t)
+    return ragged_ops.decode_ragged(back_rows, rd,
+                                    is_postscore=is_postscore)
