@@ -57,3 +57,21 @@ def test_ragged_guard_rails():
         layer(params, x, use_ragged_ep=True, training=True)
     with pytest.raises(AssertionError):
         layer(params, x, use_ragged_ep=True, capacity_factor=1.0)
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_ragged_ep_quantized(bits):
+    """INT8/INT4 weights through the ragged EP path (fused-dequant kernel
+    on the ragged layout) track the fp32 padded path within budget."""
+    from tutel_tpu.ops import quant
+    layer = _layer()
+    params = layer.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (256, 32))
+    ref, _ = layer(layer.shard_params(params), x)
+    qp = dict(params)
+    qp["experts"] = quant.quantize_expert_params(params["experts"],
+                                                 bits=bits)
+    qp = layer.shard_params(qp)
+    out, _ = layer(qp, x, use_ragged_ep=True, max_recv=1024)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < (0.05 if bits == 8 else 0.3), rel

@@ -117,12 +117,29 @@ def _grouped_apply_ffn(self, params, rows, group_sizes, ctx=None):
     """Ragged-rows flavor for the true-dropless EP path (ops/ragged_ep.py):
     rows [N, M] grouped by local expert with group_sizes [E_l]."""
     from ..ops import grouped_gemm
-    from ..ops.quant import QuantizedWeight, dequantize
+    from ..ops.quant import QuantizedWeight
     fc1_w, fc2_w = params["fc1_w"], params["fc2_w"]
     if isinstance(fc1_w, QuantizedWeight):
-        fc1_w = dequantize(fc1_w, rows.dtype)
-    if isinstance(fc2_w, QuantizedWeight):
-        fc2_w = dequantize(fc2_w, rows.dtype)
+        # keep the INT4/INT8 fused-dequant kernel on the ragged layout
+        from ..ops.grouped_gemm_pallas import grouped_gemm_quant_ragged
+        interpret = jax.devices()[0].platform != "tpu"
+        c_max = int(getattr(ctx, "ragged_c_max", 0) or rows.shape[0])
+        y = grouped_gemm_quant_ragged(rows, fc1_w, group_sizes, c_max,
+                                      interpret=interpret)
+        if params.get("fc1_b") is not None:
+            y = grouped_gemm.grouped_bias_add(y, params["fc1_b"],
+                                              group_sizes)
+        y = self.activation_fn(y)
+        y = grouped_gemm_quant_ragged(y, fc2_w, group_sizes, c_max,
+                                      interpret=interpret)
+        if params.get("fc2_b") is not None:
+            bias = params["fc2_b"]
+            if bias.shape[-1] != self.output_dim:
+                bias = jnp.pad(
+                    bias, ((0, 0),
+                           (0, self.output_dim - bias.shape[-1])))
+            y = grouped_gemm.grouped_bias_add(y, bias, group_sizes)
+        return y
     y = grouped_gemm.grouped_gemm(rows, fc1_w, group_sizes)
     if params.get("fc1_b") is not None:
         y = grouped_gemm.grouped_bias_add(y, params["fc1_b"], group_sizes)

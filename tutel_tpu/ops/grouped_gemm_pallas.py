@@ -145,3 +145,47 @@ def quantized_ffn(x, params, ctx, activation_fn, output_dim,
                                   (0, output_dim - bias.shape[-1])))
         y = y + bias
     return y
+
+
+def grouped_gemm_quant_ragged(rows, qw: QuantizedWeight, group_sizes,
+                              c_max, *, bn=None, interpret=False):
+    """Quantized grouped GEMM over a *ragged* row layout.
+
+    rows [N, K] are grouped contiguously by expert (group_sizes [E]); the
+    rows are re-laid into the dense [E, c_max, K] view with two cheap
+    gathers so the fused-dequant kernel (weights read once, INT4 packed)
+    does the FLOPs. c_max is the static per-expert row bound (bucketed by
+    the caller; rows beyond it are dropped, matching capped-dropless).
+    Tail rows past sum(group_sizes) are zero.
+    """
+    import os
+    n, k = rows.shape
+    e = group_sizes.shape[0]
+    gs = group_sizes.astype(jnp.int32)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(gs)[:-1]])
+    if bn is None:
+        bn = int(os.environ.get("TUTEL_TPU_GMM_BN", "1024"))
+
+    # dense[e, c] = rows[starts[e] + c] for c < gs[e] (else zero-fill)
+    eidx = jax.lax.broadcasted_iota(jnp.int32, (e, c_max), 0)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (e, c_max), 1)
+    src = jnp.where(cidx < gs[:, None], starts[:, None] + cidx, n)
+    dense = jnp.take(rows, src.reshape(-1), axis=0, mode="fill",
+                     fill_value=0).reshape(e, c_max, k)
+
+    y = grouped_gemm_quant(dense, qw, jnp.minimum(gs, c_max), bn=bn,
+                           interpret=interpret)
+    nout = y.shape[-1]
+
+    # ragged_out[r] = y[gid(r), within(r)] for valid r
+    rid = jnp.arange(n, dtype=jnp.int32)
+    gid = jnp.sum(rid[:, None] >= jnp.cumsum(gs)[None, :],
+                  axis=1).astype(jnp.int32)
+    gid_c = jnp.clip(gid, 0, e - 1)
+    within = rid - starts[gid_c]
+    flat_src = jnp.where(
+        (rid < jnp.sum(gs)) & (within < c_max),
+        gid_c * c_max + within, e * c_max)
+    return jnp.take(y.reshape(e * c_max, nout), flat_src, axis=0,
+                    mode="fill", fill_value=0)
