@@ -54,9 +54,32 @@ def test_ragged_guard_rails():
     params = layer.shard_params(layer.init(jax.random.PRNGKey(0)))
     x = jax.random.normal(jax.random.PRNGKey(1), (256, 32))
     with pytest.raises(AssertionError):
-        layer(params, x, use_ragged_ep=True, training=True)
-    with pytest.raises(AssertionError):
         layer(params, x, use_ragged_ep=True, capacity_factor=1.0)
+
+
+def test_ragged_training_grads_match_padded():
+    """Ragged EP differentiates (custom-VJP ragged exchanges +
+    permutation gathers); grads match the padded dropless path."""
+    layer = _layer()
+    params = layer.shard_params(layer.init(jax.random.PRNGKey(0)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (256, 32))
+    key = jax.random.PRNGKey(5)
+    cap = layer.resolve_capacity(params, x, training=True)
+
+    def loss(p, ragged):
+        kwargs = dict(use_ragged_ep=True, max_recv=1024) if ragged \
+            else dict(capacity_override=cap)
+        out, l_aux = layer(p, x, key=key, training=True, **kwargs)
+        return jnp.sum(out.astype(jnp.float32) ** 2) * 1e-3 + l_aux
+
+    g_pad = jax.grad(lambda p: loss(p, False))(params)
+    g_rag = jax.grad(lambda p: loss(p, True))(params)
+    for (n1, a), (n2, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_pad),
+            jax.tree_util.tree_leaves_with_path(g_rag)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=str(n1))
 
 
 @pytest.mark.parametrize("bits", [8, 4])

@@ -448,9 +448,9 @@ class MOELayer:
             # lax.ragged_all_to_all instead of padded capacity buffers.
             assert self.world_size > 1 and self.sharded_count == 1, (
                 "ragged EP needs a multi-device pure-EP layout")
-            assert cf == 0 and not training and valid_tokens is None \
+            assert cf == 0 and valid_tokens is None \
                 and not self._flat_2dh() and megablocks_size == 0, (
-                "ragged EP is the inference dropless path "
+                "ragged EP is the dropless path "
                 "(capacity_factor=0, no masking/2DH/megablocks)")
             t_rows = top_k * local_samples
             ragged_max_recv = int(max_recv) if max_recv else \

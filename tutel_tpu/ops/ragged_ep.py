@@ -16,12 +16,62 @@ capacities). Inference path (the return a2a and ragged re-sorts carry no
 VJP); training uses the padded path.
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from .. import net
 from . import ragged as ragged_ops
+
+
+# ---------------------------------------------------------------------------
+# Differentiable building blocks.
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _ragged_a2a(t, send_counts, recv_counts, axis, output_size):
+    """Ragged a2a with an explicit VJP: the transpose of a ragged exchange
+    is the reverse exchange with the count matrix transposed (exactly the
+    return leg), so training works even where the native primitive lacks
+    a transpose rule."""
+    out, _ = net.batch_all_to_all_v(t, send_counts, axis,
+                                    output_size=output_size)
+    return out
+
+
+def _ragged_a2a_fwd(t, send_counts, recv_counts, axis, output_size):
+    out, _ = net.batch_all_to_all_v(t, send_counts, axis,
+                                    output_size=output_size)
+    return out, (send_counts, recv_counts, t.shape[0])
+
+
+def _ragged_a2a_bwd(axis, output_size, res, g):
+    send_counts, recv_counts, n_in = res
+    back, _ = net.batch_all_to_all_v(g, recv_counts, axis,
+                                     output_size=n_in)
+    return back, None, None
+
+
+_ragged_a2a.defvjp(_ragged_a2a_fwd, _ragged_a2a_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def _perm_take(x, order, inverse):
+    return jnp.take(x, order, axis=0)
+
+
+def _perm_take_fwd(x, order, inverse):
+    return jnp.take(x, order, axis=0), inverse
+
+
+def _perm_take_bwd(inverse, g):
+    # permutation gather transposes to the inverse gather (no scatter)
+    return jnp.take(g, inverse, axis=0), None, None
+
+
+_perm_take.defvjp(_perm_take_fwd, _perm_take_bwd)
 
 
 def _expert_ids_from_counts(per_src_expert_counts, recv_starts, n_rows):
@@ -74,12 +124,13 @@ def ragged_ep_forward(x_local, crit, expert_params, expert_apply, axis,
 
     # per-destination-device row counts (experts are contiguous per device)
     send_counts = jnp.sum(rd.group_sizes.reshape(w, e_l), axis=1)
-    recv_rows, recv_counts = net.batch_all_to_all_v(
-        rows, send_counts, axis, output_size=max_recv)
     # per-(src, local-expert) counts: each src sends me its counts for my
     # expert range
     counts_matrix = net.simple_all_to_all(
         rd.group_sizes.reshape(w, e_l), axis)             # [W, E_l]
+    recv_counts = jnp.sum(counts_matrix, axis=1).astype(jnp.int32)  # [W]
+
+    recv_rows = _ragged_a2a(rows, send_counts, recv_counts, axis, max_recv)
 
     recv_starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(recv_counts)[:-1]])
@@ -88,13 +139,12 @@ def ragged_ep_forward(x_local, crit, expert_params, expert_apply, axis,
     # stable sort by expert id groups rows for the grouped GEMM
     order = jnp.argsort(eid, stable=True).astype(jnp.int32)
     inverse = jnp.argsort(order).astype(jnp.int32)
-    grouped = jnp.take(recv_rows, order, axis=0)
+    grouped = _perm_take(recv_rows, order, inverse)
     group_sizes = jnp.sum(counts_matrix, axis=0).astype(jnp.int32)  # [E_l]
 
     y = expert_apply(expert_params, grouped, group_sizes, ctx)
 
-    y = jnp.take(y, inverse, axis=0)                      # back to src-major
-    back_rows, _ = net.batch_all_to_all_v(
-        y, recv_counts, axis, output_size=t)
+    y = _perm_take(y, inverse, order)                     # back to src-major
+    back_rows = _ragged_a2a(y, recv_counts, send_counts, axis, t)
     return ragged_ops.decode_ragged(back_rows, rd,
                                     is_postscore=is_postscore)
