@@ -184,3 +184,58 @@ def test_a2a_dtype_bf16_payload():
     got, _ = bf_layer(params, x)
     rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
     assert 0 < rel < 0.02, rel
+
+
+def test_auto_parallel_heuristic():
+    """parallel_type='auto' picks DP (r=1) for small experts / many
+    tokens and MP (r=sharded_count) for huge experts / few tokens
+    (reference moe_layer.py:335-336)."""
+    import jax
+    from tutel_tpu import moe
+
+    devices = jax.devices()[:8]
+
+    def build(hidden):
+        return moe.moe_layer(
+            gate_type={"type": "top", "k": 2, "capacity_factor": 1.0},
+            experts={"type": "ffn", "num_experts_per_device": -2,
+                     "hidden_size_per_expert": hidden},
+            model_dim=32, seeds=(1, 1, 1), parallel_type="auto",
+            group=devices)
+
+    small = build(32)
+    params = small.shard_params(small.init(jax.random.PRNGKey(0)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1024, 32))
+    small(params, x)
+    assert small.adaptive_degree == 1, small.adaptive_degree
+
+    big = build(4096)
+    params = big.shard_params(big.init(jax.random.PRNGKey(0)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 32))
+    big(params, x)
+    assert big.adaptive_degree == big.sharded_count, big.adaptive_degree
+
+
+def test_remat_experts_same_numerics():
+    import jax
+    import jax.numpy as jnp
+    from tutel_tpu import moe
+
+    kwargs = dict(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 1.0},
+        experts={"type": "ffn", "num_experts_per_device": 4,
+                 "hidden_size_per_expert": 32},
+        model_dim=32, seeds=(1, 1, 1), group=jax.devices()[:1])
+    a = moe.moe_layer(**kwargs)
+    b = moe.moe_layer(remat_experts=True, **kwargs)
+    params = a.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (32, 32))
+
+    def loss(layer, p):
+        out, la = layer(p, x, training=True)
+        return jnp.sum(out ** 2) + la
+    ga = jax.grad(lambda p: loss(a, p))(params)
+    gb = jax.grad(lambda p: loss(b, p))(params)
+    for la_, lb_ in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(la_), np.asarray(lb_),
+                                   rtol=1e-5, atol=1e-6)

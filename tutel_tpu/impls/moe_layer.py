@@ -102,6 +102,7 @@ class MOELayer:
         is_gshard_loss=True,
         parallel_type="adaptive:1",
         use_2dh=False,
+        remat_experts=False,             # jax.checkpoint the expert FFN
         dtype=jnp.float32,
         a2a_dtype=None,                  # cast a2a payload (e.g. bf16, fp8)
         capacity_bucket: int = 0,        # extra capacity rounding quantum
@@ -138,6 +139,7 @@ class MOELayer:
         self.is_gshard_loss = is_gshard_loss
         self.a2a_ffn_overlap_degree = a2a_ffn_overlap_degree
         self.use_2dh = use_2dh
+        self.remat_experts = remat_experts
         self.dtype = dtype
         self.a2a_dtype = a2a_dtype
         self.capacity_bucket = capacity_bucket
@@ -442,6 +444,20 @@ class MOELayer:
                            top_k * local_samples,
                            self._alignment(overlap_degree, megablocks_size)))
 
+        if self.auto_parallel and adaptive_r is None \
+                and self.sharded_count > 1:
+            # reference moe_layer.py:335-336: model-parallel when
+            # replicating the dispatched activations r-fold costs less
+            # than re-gathering the expert weights every step.
+            local_param_numel = sum(
+                leaf.size for leaf in jax.tree.leaves(params["experts"])
+            ) // self.world_size
+            y_numel = self.num_global_experts * capacity * flat_m
+            use_mp = y_numel * (self.sharded_count - 1) * 2 \
+                < local_param_numel
+            r = self.sharded_count if use_mp else 1
+            self.adaptive_degree = r
+
         ragged_max_recv = 0
         if use_ragged_ep:
             # True-dropless ragged EP (ops/ragged_ep.py): tokens ride
@@ -536,6 +552,15 @@ class MOELayer:
             batch_prioritized_routing=cfg.batch_prioritized,
             normalize_gate=self.normalize_gate, token_mask=token_mask)
 
+    def _apply_experts(self, eff_params, y, ctx):
+        if self.remat_experts:
+            # rematerialize expert activations in backward: trades FLOPs
+            # for HBM (jax.checkpoint; SURVEY.md-recommended knob for
+            # memory-bound training)
+            return jax.checkpoint(
+                lambda p, t: self.experts.apply(p, t, ctx))(eff_params, y)
+        return self.experts.apply(eff_params, y, ctx)
+
     def _expert_ctx(self, cfg: _VariantCfg, crit):
         # dispatch_count indexes the *local* routing decision; after the EP
         # all-to-all the expert buffer holds rows from every device, so
@@ -619,10 +644,10 @@ class MOELayer:
             y = dispatch_ops.fast_encode(x_local, crit, self.is_postscore)
 
             if w == 1:
-                y = self.experts.apply(expert_params, y, ctx)
+                y = self._apply_experts(expert_params, y, ctx)
             elif cfg.adaptive_r == 0:
                 eff = self._gather_expert_params(expert_params, cfg)
-                y = self.experts.apply(eff, y, ctx)
+                y = self._apply_experts(eff, y, ctx)
             else:
                 r = cfg.adaptive_r
                 if e_global < w:
@@ -655,12 +680,12 @@ class MOELayer:
                     outs = []
                     for c in chunks:
                         c = a2a(c, 1, 0)
-                        c = self.experts.apply(eff, c, ctx)
+                        c = self._apply_experts(eff, c, ctx)
                         outs.append(a2a(c, 0, 1))
                     y = jnp.concatenate(outs, axis=1)
                 else:
                     y = a2a(y, 1, 0)
-                    y = self.experts.apply(eff, y, ctx)
+                    y = self._apply_experts(eff, y, ctx)
                     y = a2a(y, 0, 1)
 
                 if e_global < w:
