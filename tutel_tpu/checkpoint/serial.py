@@ -8,7 +8,6 @@ joined with '/' on disk (leaf keys keep their own dots, e.g.
 nesting addresses sub-dicts (reference doc/CHECKPOINT.md:28-45).
 """
 
-import io
 import os
 
 import numpy as np

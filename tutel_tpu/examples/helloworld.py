@@ -11,7 +11,6 @@ Run:  python -m tutel_tpu.examples.helloworld --batch_size 16
 """
 
 import argparse
-import sys
 import time
 
 

@@ -9,7 +9,6 @@ without source-string templating.
 """
 
 import jax
-import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

@@ -15,9 +15,6 @@ are per-expert row counts summing to <= T. Rows past sum(group_sizes) are
 padding and produce zeros.
 """
 
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -15,7 +15,6 @@ numerically match fast_encode/fast_decode with capacity >= max count.
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 from .routing import RoutingResult

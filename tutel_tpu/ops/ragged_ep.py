@@ -12,8 +12,10 @@ reference custom_kernel.cpp:463-490), the full form of SURVEY.md §7 step 6:
 
 Static shapes: receive buffers are `max_recv` rows (a bucketed bound the
 caller picks — the same alignment-bucket discipline as dropless
-capacities). Inference path (the return a2a and ragged re-sorts carry no
-VJP); training uses the padded path.
+capacities). Fully differentiable: the ragged exchanges and permutation
+re-sorts carry custom VJPs (a ragged a2a transposes to the reverse
+exchange; a permutation gather to its inverse gather), so training grads
+match the padded path exactly (tests/test_ragged_ep.py).
 """
 
 from functools import partial

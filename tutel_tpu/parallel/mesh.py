@@ -20,11 +20,11 @@ reference's consecutive-rank model groups (communicate.py:104-107).
 """
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 
 def default_devices():
