@@ -111,6 +111,8 @@ def grouped_gemm_quant(x, qw: QuantizedWeight, counts=None, *, bm=256,
             bytes_accessed=x.size * x.dtype.itemsize + vals.size
             + e * cp * np_ * x.dtype.itemsize,
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
         interpret=interpret,
     )(counts, x, vals, scales)
     if pad_c or pad_n:
