@@ -156,3 +156,42 @@ def test_token_mask_padding_tokens():
         np.asarray(out[:8]),
         np.asarray(dispatch.fast_decode(dispatch.fast_encode(x[:8], crit8),
                                         crit8)), rtol=1e-6)
+
+
+def test_routing_fuzz_vs_numpy_oracle():
+    """Randomized configs (shapes, k, capacity incl. forced drops, E=1,
+    k>E) against a direct NumPy re-implementation."""
+    import jax
+    import jax.numpy as jnp
+    from tutel_tpu.ops import routing
+
+    rng = np.random.RandomState(42)
+    for trial in range(12):
+        s = int(rng.randint(1, 40))
+        e = int(rng.choice([1, 2, 3, 8, 16]))
+        k = int(rng.randint(1, 5))
+        cap = int(rng.randint(1, 2 * s + 2))
+        scores = rng.rand(s, e).astype(np.float32) + 1e-3
+        scores = scores / scores.sum(1, keepdims=True)
+        crit, _ = routing.extract_critical(
+            jnp.asarray(scores), k, capacity=cap, loss_fn=None,
+            normalize_gate=False)
+        kk = min(k, e)
+        # NumPy oracle
+        idx = np.argsort(-scores, axis=1, kind="stable")[:, :kk]   # [S, kk]
+        counts = np.zeros(e, np.int64)
+        loc = np.zeros((kk, s), np.int64)
+        for ki in range(kk):
+            for si in range(s):
+                ex = idx[si, ki]
+                loc[ki, si] = counts[ex]
+                counts[ex] += 1
+        np.testing.assert_array_equal(np.asarray(crit.indices), idx.T,
+                                      err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(np.asarray(crit.locations), loc,
+                                      err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(np.asarray(crit.dispatch_count),
+                                      counts, err_msg=f"trial {trial}")
+        gates = np.take_along_axis(scores, idx, axis=1).T
+        np.testing.assert_allclose(np.asarray(crit.gates), gates,
+                                   rtol=1e-6, err_msg=f"trial {trial}")
