@@ -228,3 +228,36 @@ def test_pallas_gather_rows_matches_take():
     ref = jnp.take(x, idx, axis=0, mode="fill", fill_value=0)
     got = gather_rows(x, idx, bm=16, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
+
+
+def test_dispatch_fuzz_vs_scatter_oracle():
+    """Randomized (S, E, K, capacity) configs incl. heavy drops: the
+    gather-only hot path must match the scatter spec bit-for-bit, and a
+    full encode->decode round trip must preserve undropped tokens."""
+    import jax
+    import jax.numpy as jnp
+    from tutel_tpu.ops import dispatch, routing
+
+    rng = np.random.RandomState(7)
+    for trial in range(10):
+        s = int(rng.randint(2, 50))
+        e = int(rng.choice([1, 2, 4, 8]))
+        k = int(rng.randint(1, 4))
+        cap = int(rng.randint(1, s + 3))
+        m = int(rng.choice([4, 16]))
+        scores = jax.nn.softmax(
+            jnp.asarray(rng.randn(s, e).astype(np.float32)), axis=1)
+        crit, _ = routing.extract_critical(scores, k, capacity=cap,
+                                           loss_fn=None)
+        x = jnp.asarray(rng.randn(s, m).astype(np.float32))
+        for ps in (True, False):
+            a = dispatch.fast_encode(x, crit, is_postscore=ps)
+            b = dispatch.fast_encode_scatter(x, crit, is_postscore=ps)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"t{trial} ps={ps}")
+            eo = jnp.asarray(rng.randn(*a.shape).astype(np.float32))
+            c1 = dispatch.fast_decode(eo, crit, is_postscore=ps)
+            c2 = dispatch.fast_decode_gather(eo, crit, is_postscore=ps)
+            np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
+                                       rtol=1e-6, atol=1e-6,
+                                       err_msg=f"t{trial} ps={ps}")
