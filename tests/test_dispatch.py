@@ -261,3 +261,21 @@ def test_dispatch_fuzz_vs_scatter_oracle():
             np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
                                        rtol=1e-6, atol=1e-6,
                                        err_msg=f"t{trial} ps={ps}")
+
+
+def test_dispatcher_restores_original_dtype():
+    """dispatch_dtype compresses the payload but decode hands back the
+    caller's dtype (reference GatingDecoder original_dtype restore)."""
+    import jax
+    import jax.numpy as jnp
+    from tutel_tpu.ops.dispatch import TutelMoeFastDispatcher
+
+    d = TutelMoeFastDispatcher(num_global_experts=4, capacity=4,
+                               model_dim=8, dispatch_dtype=jnp.bfloat16)
+    d.update(indices_=[[0, 1, 2, 3]], locations_=[[0, 0, 0, 0]],
+             gates_=[[1.0, 1.0, 1.0, 1.0]])
+    x = jnp.ones((4, 8), jnp.float32)
+    enc = d.encode(x)
+    assert enc.dtype == jnp.bfloat16
+    out = d.decode(enc)
+    assert out.dtype == jnp.float32

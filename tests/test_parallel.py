@@ -186,6 +186,108 @@ def test_a2a_dtype_bf16_payload():
     assert 0 < rel < 0.02, rel
 
 
+def test_a2a_dtype_fp8_payload():
+    """FP8 (e4m3) a2a payload compression on the 8-device EP mesh: the
+    reference's fp16-a2a autocast analog (moe_layer.py:26-39) pushed one
+    step further; error stays within the fp8 quantization budget."""
+    import jax
+    import jax.numpy as jnp
+    from tutel_tpu import moe
+
+    devices = jax.devices()[:8]
+    kwargs = dict(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 1.0},
+        experts={"type": "ffn", "num_experts_per_device": 1,
+                 "hidden_size_per_expert": 32},
+        model_dim=32, seeds=(1, 1, 1), group=devices)
+    ref_layer = moe.moe_layer(**kwargs)
+    fp8_layer = moe.moe_layer(a2a_dtype=jnp.float8_e4m3fn, **kwargs)
+    params = ref_layer.shard_params(ref_layer.init(jax.random.PRNGKey(0)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 32))
+    ref, _ = ref_layer(params, x)
+    got, _ = fp8_layer(params, x)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    # fp8 e4m3 carries ~3 mantissa bits: visible but bounded error
+    assert 0 < rel < 0.15, rel
+
+
+def test_inequivalent_tokens_per_shard_counts():
+    """Shards carrying different valid-token counts (the reference's
+    inequivalent_tokens, fast_dispatch.py:182-185): a [world_size] vector
+    of per-shard counts masks each shard's tail; valid rows match the
+    dense single-device run, padding rows output zero."""
+    import jax
+    import jax.numpy as jnp
+    from tutel_tpu import moe
+
+    devices = jax.devices()[:8]
+    ep = moe.moe_layer(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 4.0},
+        experts={"type": "ffn", "num_experts_per_device": 1,
+                 "hidden_size_per_expert": 32},
+        model_dim=32, seeds=(1, 1, 1), group=devices)
+    params = ep.shard_params(ep.init(jax.random.PRNGKey(0)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 32))
+    valid = jnp.asarray([8, 5, 8, 3, 0, 8, 1, 7], jnp.int32)
+    out, l_aux = ep(params, x, valid_tokens=valid,
+                    inequivalent_tokens=True)
+    assert np.isfinite(float(l_aux))
+
+    dense = moe.moe_layer(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 4.0},
+        experts={"type": "ffn", "num_experts_per_device": 8,
+                 "hidden_size_per_expert": 32},
+        model_dim=32, seeds=(1, 1, 1), group=[jax.devices()[0]])
+    dparams = dense.init(jax.random.PRNGKey(0))
+    ref, _ = dense(dparams, x)
+
+    mask = (jnp.arange(64) % 8) < jnp.repeat(valid, 8)
+    np.testing.assert_allclose(np.asarray(out)[np.asarray(mask)],
+                               np.asarray(ref)[np.asarray(mask)],
+                               rtol=2e-5, atol=2e-5)
+    assert float(jnp.abs(out[~mask]).max()) == 0.0
+
+
+def test_inequivalent_tokens_requires_validity():
+    """inequivalent_tokens=True without valid_tokens must raise, not be
+    silently dropped (round-1 API bug)."""
+    import jax
+    from tutel_tpu import moe
+
+    layer = moe.moe_layer(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 1.0},
+        experts={"type": "ffn", "num_experts_per_device": 1,
+                 "hidden_size_per_expert": 32},
+        model_dim=32, seeds=(1, 1, 1), group=jax.devices()[:8])
+    params = layer.shard_params(layer.init(jax.random.PRNGKey(0)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 32))
+    with pytest.raises(ValueError, match="inequivalent_tokens"):
+        layer(params, x, inequivalent_tokens=True)
+
+
+def test_valid_tokens_scalar_is_global_count():
+    """A scalar valid_tokens is the global packed-buffer fill: shard i
+    masks clip(n - i*local, 0, local) rows, so a half-full global buffer
+    leaves later shards fully masked."""
+    import jax
+    import jax.numpy as jnp
+    from tutel_tpu import moe
+
+    layer = moe.moe_layer(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 4.0},
+        experts={"type": "ffn", "num_experts_per_device": 1,
+                 "hidden_size_per_expert": 32},
+        model_dim=32, seeds=(1, 1, 1), group=jax.devices()[:8])
+    params = layer.shard_params(layer.init(jax.random.PRNGKey(0)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 32))
+    out, _ = layer(params, x, valid_tokens=20)   # 2.5 shards' worth
+    vec, _ = layer(params, x,
+                   valid_tokens=jnp.asarray([8, 8, 4, 0, 0, 0, 0, 0]))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(vec),
+                               rtol=1e-6, atol=1e-6)
+    assert float(jnp.abs(out[20:]).max()) == 0.0
+
+
 def test_auto_parallel_heuristic():
     """parallel_type='auto' picks DP (r=1) for small experts / many
     tokens and MP (r=sharded_count) for huge experts / few tokens

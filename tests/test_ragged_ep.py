@@ -49,6 +49,43 @@ def test_ragged_imbalanced_routing():
     assert rel < 1e-5, rel
 
 
+def test_ragged_skewed_routing_default_bound():
+    """Advisor round-1 high finding: with a gate collapsed toward expert 0
+    the old default max_recv (2*top_k*local) silently truncated (~0.39 rel
+    error). The default now probes the real receive bound, so no explicit
+    max_recv is needed even under full collapse."""
+    layer = _layer()
+    params = layer.shard_params(layer.init(jax.random.PRNGKey(0)))
+    g0 = dict(params["gates"][0])
+    g0["wg"] = g0["wg"].at[:, 0].add(30.0)     # full collapse onto expert 0
+    params = dict(params)
+    params["gates"] = [g0]
+    x = jax.random.normal(jax.random.PRNGKey(1), (256, 32))
+    ref, _ = layer(params, x)
+    out, _ = layer(params, x, use_ragged_ep=True)   # default sizing
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 1e-5, rel
+
+
+def test_resolve_max_recv_under_jit():
+    """resolve_max_recv gives a tight bucketed bound usable as max_recv
+    inside an enclosing jit; worst case is never exceeded."""
+    layer = _layer()
+    params = layer.shard_params(layer.init(jax.random.PRNGKey(0)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (256, 32))
+    bound = layer.resolve_max_recv(params, x)
+    assert 0 < bound <= 2 * 256           # top_k * global tokens
+    ref, _ = layer(params, x)
+
+    @jax.jit
+    def run(p, xx):
+        out, _ = layer(p, xx, use_ragged_ep=True, max_recv=bound)
+        return out
+    out = run(params, x)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 1e-5, rel
+
+
 def test_ragged_guard_rails():
     layer = _layer()
     params = layer.shard_params(layer.init(jax.random.PRNGKey(0)))

@@ -371,11 +371,35 @@ class MOELayer:
         to the worst-case capacity (top_k * local tokens, always lossless);
         pass `capacity_override` (from `resolve_capacity`, bucketed) to keep
         tight buffers under an outer jit.
+
+        Variable per-rank token counts (the reference's
+        `inequivalent_tokens`, fast_dispatch.py:182-185): static shapes
+        stay equal across shards; validity is data. `valid_tokens` may be
+
+          * a scalar — the number of valid tokens in the *globally packed*
+            flat buffer (rows [0, n) valid, the tail is padding); per-shard
+            valid counts are derived as clip(n - shard*local, 0, local);
+          * a [world_size] vector — per-shard valid counts directly (each
+            shard masks its first valid_tokens[shard] rows). This is the
+            SPMD form of `inequivalent_tokens=True`.
+
+        Padding rows take no expert slot, contribute nothing to l_aux, and
+        produce zero output. `inequivalent_tokens=True` requires
+        `valid_tokens`; the reference's MAX-sample-count sync is subsumed
+        by the equal static shapes.
         """
         if self.skip_moe:
             # reference moe_layer.py:256-258: bypass entirely
             out = self.result_func(x) if self.result_func else x
             return out, jnp.zeros((), jnp.float32)
+        if inequivalent_tokens and valid_tokens is None:
+            raise ValueError(
+                "inequivalent_tokens=True: per-rank token counts differ, "
+                "but no validity data was given. Under SPMD the shapes stay "
+                "equal across shards (the reference's MAX-sample-count "
+                "sync, fast_dispatch.py:182-185, is implicit); pass "
+                "valid_tokens (scalar global count or [world_size] "
+                "per-shard counts) so padding rows are masked out.")
         gate = self.gates[gate_index]
         if a2a_ffn_overlap_degree is not None:
             self.a2a_ffn_overlap_degree = a2a_ffn_overlap_degree
@@ -469,8 +493,28 @@ class MOELayer:
                 "ragged EP is the dropless path "
                 "(capacity_factor=0, no masking/2DH/megablocks)")
             t_rows = top_k * local_samples
-            ragged_max_recv = int(max_recv) if max_recv else \
-                routing_ops.align_capacity(2 * t_rows, 128)
+            worst = routing_ops.align_capacity(
+                self.world_size * t_rows, 128)
+            if max_recv:
+                # Explicit caller bound. Rows beyond it are dropped by the
+                # ragged all-to-all (come back zero); only pass this when
+                # the routing skew is genuinely bounded.
+                ragged_max_recv = min(int(max_recv), worst)
+            elif isinstance(x, jax.core.Tracer):
+                # No host sync under an outer jit: use the lossless worst
+                # case (every device routes everything to one device's
+                # experts). Pass max_recv from `resolve_max_recv` to keep
+                # the buffer tight.
+                ragged_max_recv = worst
+            else:
+                # Probe the real bound (pmax over per-device received-row
+                # totals) — the same two-phase discipline as dropless
+                # capacities, so skewed routing can never silently
+                # truncate.
+                needed = int(self._ragged_count_forward(
+                    params, x2, key, gate_index, top_k, training))
+                ragged_max_recv = min(
+                    routing_ops.align_capacity(max(needed, 1), 128), worst)
 
         cfg = _VariantCfg(
             gate_index=gate_index, top_k=top_k, capacity=capacity,
@@ -487,9 +531,18 @@ class MOELayer:
             fn = jax.jit(self._build_forward(cfg))
             self._jit_cache[cfg] = fn
         if valid_tokens is not None:
-            valid = jnp.broadcast_to(
-                jnp.asarray(valid_tokens, jnp.int32).reshape(-1),
-                (self.world_size,))
+            vt = jnp.asarray(valid_tokens, jnp.int32).reshape(-1)
+            if vt.size == 1:
+                # scalar = global valid count over the packed flat buffer;
+                # shard i owns rows [i*local, (i+1)*local)
+                starts = jnp.arange(self.world_size, dtype=jnp.int32) \
+                    * local_samples
+                valid = jnp.clip(vt[0] - starts, 0, local_samples)
+            else:
+                assert vt.size == self.world_size, (
+                    f"valid_tokens must be a scalar or a "
+                    f"[world_size={self.world_size}] vector, got {vt.size}")
+                valid = vt
             out, l_aux = fn(params, x2, key, valid)
         else:
             out, l_aux = fn(params, x2, key)
@@ -776,6 +829,72 @@ class MOELayer:
                 out_specs=P(), check_vma=False)
             return shmapped(params["gates"][gate_index], x2, key)
         return fn
+
+    def _ragged_count_forward(self, params, x2, key, gate_index, top_k,
+                              training):
+        """Max rows any device receives in the ragged EP exchange."""
+        ckey = ("ragged", gate_index, top_k, training)
+        fn = self._count_cache.get(ckey)
+        if fn is None:
+            fn = jax.jit(self._build_ragged_count(gate_index, top_k,
+                                                  training))
+            self._count_cache[ckey] = fn
+        return fn(params, x2, key)
+
+    def _build_ragged_count(self, gate_index, top_k, training):
+        """Count program for ragged EP receive-buffer sizing: device d
+        receives sum over all sources of their per-expert counts for d's
+        expert range; the bound is the max over devices."""
+        ep_axes = self._ep_axes()
+        w = self.world_size
+        e_l = self.num_global_experts // w
+        cfg = _VariantCfg(
+            gate_index=gate_index, top_k=top_k, capacity=1,
+            adaptive_r=1, overlap_degree=1, megablocks_size=0,
+            training=training, use_2dh=False,
+            batch_prioritized=self.batch_prioritized_routing)
+
+        def body(gate_params, x_local, key):
+            idx = lax.axis_index(ep_axes)
+            local_key = jax.random.fold_in(key, idx)
+            crit, _ = self._routing_local(cfg, gate_params, x_local,
+                                          local_key)
+            # global per-expert totals -> per-device receive totals
+            global_counts = lax.psum(crit.dispatch_count, ep_axes)
+            per_device = jnp.sum(global_counts.reshape(w, e_l), axis=1)
+            return jnp.max(per_device)
+
+        mesh = self._mesh(1)
+
+        def fn(params, x2, key):
+            shmapped = jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(jax.tree.map(lambda _: P(),
+                                       params["gates"][gate_index]),
+                          P(ep_axes), P()),
+                out_specs=P(), check_vma=False)
+            return shmapped(params["gates"][gate_index], x2, key)
+        return fn
+
+    def resolve_max_recv(self, params, x, key=None, gate_index=0,
+                         top_k=None, training=False, reserve_dims=1):
+        """Host-side ragged-EP receive-bound query (bucketed to 128).
+        Use the result as `max_recv` inside an enclosing jit to keep the
+        ragged receive buffers tight without risking truncation."""
+        gate = self.gates[gate_index]
+        top_k = min(int(top_k or gate.top_k), self.num_global_experts)
+        flat_m = 1
+        for d in x.shape[-reserve_dims:]:
+            flat_m *= int(d)
+        x2 = x.reshape(-1, flat_m).astype(self.dtype)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        needed = int(self._ragged_count_forward(
+            params, x2, key, gate_index, top_k, training))
+        local_samples = x2.shape[0] // self.world_size
+        worst = routing_ops.align_capacity(
+            self.world_size * top_k * local_samples, 128)
+        return min(routing_ops.align_capacity(max(needed, 1), 128), worst)
 
     # ------------------------------------------------------------------
     # Checkpoint format (reference moe_layer.py:57-75)

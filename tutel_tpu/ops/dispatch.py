@@ -288,6 +288,7 @@ class TutelMoeFastDispatcher:
         self.dtype = dispatch_dtype
         self._crit = None
         self.is_postscore = True
+        self._original_dtype = None
 
     def update(self, indices_, locations_, gates_, capacity=None,
                is_postscore=True):
@@ -314,12 +315,19 @@ class TutelMoeFastDispatcher:
 
     def encode(self, data):
         assert self._crit is not None, "call update() first"
+        self._original_dtype = data.dtype
         d = data if self.dtype is None else data.astype(self.dtype)
         return fast_encode(d, self._crit, self.is_postscore)
 
     def decode(self, data):
         assert self._crit is not None, "call update() first"
-        return fast_decode(data, self._crit, self.is_postscore)
+        out = fast_decode(data, self._crit, self.is_postscore)
+        # Restore the caller's dtype when dispatch_dtype compressed the
+        # payload (reference GatingDecoder's original_dtype restore,
+        # fast_dispatch.py:66-82).
+        if self.dtype is not None and self._original_dtype is not None:
+            out = out.astype(self._original_dtype)
+        return out
 
 
 fast_dispatcher = TutelMoeFastDispatcher

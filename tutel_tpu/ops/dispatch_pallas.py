@@ -99,7 +99,7 @@ def gather_rows(x, idx, *, bm=256, interpret=False):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(np_rows // bm,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((bm, sub, 128),
                                    lambda t, idx_ref: (t, 0, 0)),
             scratch_shapes=[pltpu.SemaphoreType.DMA((bm,))],

@@ -10,8 +10,14 @@ counterpart — the reference stops at the layer. Design:
     so join/leave never recompiles.
   * per-step dynamic knobs (top_k, capacity bucket) resolve through the
     MoE layer's compiled-variant cache — switching is a dict lookup.
-  * dropless capacity is re-probed only when the fill level crosses a
-    bucket boundary (the alignment-bucket trick), keeping host syncs rare.
+  * dropless capacity uses the content-independent worst case (the fill
+    bucket: top-k experts are distinct per token, so no expert can receive
+    more rows than there are active tokens) — lossless for every routing
+    outcome, zero host probes, one compiled variant per fill bucket.
+  * with world_size > 1 the engine's globally packed buffer maps onto the
+    layer's scalar `valid_tokens` semantics: the layer derives per-shard
+    valid counts clip(n - shard*local, 0, local), so shard>0 padding rows
+    neither consume capacity nor pollute l_aux.
 
 The engine is model-agnostic: it drives any `step_fn(params, x, valid,
 key) -> y` built around MOELayer(s); `MoeDecodeEngine` wires the common
@@ -48,8 +54,7 @@ class MoeDecodeEngine:
         self._free = list(range(self.max_batch))[::-1]
         self._capacity_cache: Dict[int, int] = {}
         self._step = 0
-        self.stats = {"steps": 0, "tokens": 0, "capacity_probes": 0,
-                      "joined": 0, "finished": 0}
+        self.stats = {"steps": 0, "tokens": 0, "joined": 0, "finished": 0}
 
     # -- admission ------------------------------------------------------
 
@@ -77,11 +82,14 @@ class MoeDecodeEngine:
     def _capacity_for(self, fill_bucket: int, key) -> int:
         cap = self._capacity_cache.get(fill_bucket)
         if cap is None:
-            # one host-side dropless probe per fill bucket, then cached
-            self.stats["capacity_probes"] += 1
-            cap = self.layer.resolve_capacity(
-                self.params, self._buf, key=key, top_k=self.top_k)
-            cap = max(cap, 1)
+            # Content-independent worst case: a token's top-k experts are
+            # distinct, so no expert can receive more rows than there are
+            # active tokens. capacity = the fill bucket is therefore
+            # lossless for *every* routing outcome — unlike a probed value,
+            # it can never go stale when a later step routes more skewed
+            # than the probed one. At decode batch sizes the padding is
+            # cheap (the grouped GEMM narrows by dispatch_count anyway).
+            cap = max(fill_bucket, 1)
             self._capacity_cache[fill_bucket] = cap
         return cap
 
