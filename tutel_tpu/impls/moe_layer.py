@@ -66,6 +66,7 @@ class _VariantCfg:
     a2a_dtype: Any = None            # payload dtype for the a2a (bf16/fp8)
     has_valid: bool = False          # per-shard valid-token masking
     ragged_max_recv: int = 0         # >0: true-dropless ragged EP path
+    dense_dispatch: bool = False     # top_k == E degenerate-routing path
 
 
 class MOELayer:
@@ -516,6 +517,18 @@ class MOELayer:
                 ragged_max_recv = min(
                     routing_ops.align_capacity(max(needed, 1), 128), worst)
 
+        # Degenerate routing: when every token routes to every expert
+        # (top_k == E) and nothing is dropped, dispatch is algebraically a
+        # broadcast + weighted combine — no row gathers, no slot
+        # permutation (ops/dispatch.py dense_encode). Single-device only:
+        # under EP the a2a needs the slot layout.
+        dense_dispatch = (
+            self.world_size == 1
+            and top_k == self.num_global_experts
+            and capacity >= local_samples
+            and megablocks_size == 0
+            and os.environ.get("TUTEL_TPU_DENSE_DISPATCH", "1") != "0")
+
         cfg = _VariantCfg(
             gate_index=gate_index, top_k=top_k, capacity=capacity,
             adaptive_r=r, overlap_degree=overlap_degree,
@@ -524,7 +537,8 @@ class MOELayer:
             batch_prioritized=self.batch_prioritized_routing,
             a2a_dtype=self.a2a_dtype,
             has_valid=valid_tokens is not None,
-            ragged_max_recv=ragged_max_recv)
+            ragged_max_recv=ragged_max_recv,
+            dense_dispatch=dense_dispatch)
 
         fn = self._jit_cache.get(cfg)
         if fn is None:
@@ -693,6 +707,13 @@ class MOELayer:
                     cfg.ragged_max_recv, is_postscore=self.is_postscore,
                     ctx=ctx)
                 return out, lax.pmean(l_aux, ep_axes)
+
+            if cfg.dense_dispatch:
+                y = dispatch_ops.dense_encode(x_local, crit,
+                                              self.is_postscore)
+                y = self._apply_experts(expert_params, y, ctx)
+                out = dispatch_ops.dense_decode(y, crit, self.is_postscore)
+                return out, l_aux
 
             y = dispatch_ops.fast_encode(x_local, crit, self.is_postscore)
 
