@@ -71,10 +71,15 @@ def run(args):
         return lax.fori_loop(0, args.iters, step, (xx, jnp.float32(0)))
 
     r = loop(params, x)
-    jax.block_until_ready(r)
+    float(r[1])          # force real completion (tunnel-safe sync)
+    # Time a run with a *different* input: the remote execution channel
+    # may serve a repeated identical (executable, args) pair from cache,
+    # and block_until_ready can return before device completion — fetch
+    # a scalar instead.
+    x2 = x + jnp.asarray(1e-3, dtype)
     t0 = time.perf_counter()
-    r = loop(params, x)
-    jax.block_until_ready(r)
+    r = loop(params, x2)
+    float(r[1])
     dt = (time.perf_counter() - t0) / args.iters
     tokens_per_sec = args.tokens / dt
     print(json.dumps({

@@ -1,0 +1,72 @@
+"""End-to-end multi-process launcher test (reference launcher/run.py:6-35).
+
+Spawns TWO real OS processes on localhost, each entered through
+`python -m tutel_tpu.launcher.run` with OpenMPI-style env vars — the
+reference's `mpiexec -x ... tutel.launcher.run` convention — and drives
+`jax.distributed.initialize` rendezvous over CPU. Both ranks run the same
+SPMD MoE training steps on the global (2 processes x 2 CPU devices) view
+and must print identical losses.
+"""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_launch_identical_losses():
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env.pop("PYTEST_CURRENT_TEST", None)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+            "OMPI_COMM_WORLD_SIZE": "2",
+            "OMPI_COMM_WORLD_RANK": str(rank),
+            "MASTER_ADDR": "127.0.0.1",
+            "MASTER_PORT": str(port),
+            "PYTHONPATH": REPO,
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "tutel_tpu.launcher.run",
+             "-m", "tutel_tpu.examples.helloworld_multiprocess",
+             "--num_steps", "3"],
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+
+    losses = []
+    for out in outs:
+        got = re.findall(r"STEP-\d+: loss = ([0-9.eE+-]+)", out)
+        assert len(got) == 3, out
+        losses.append([float(v) for v in got])
+    assert losses[0] == losses[1], losses
+    # world really was 2 processes x 2 devices
+    assert "world=4 devices, 2 processes" in outs[0], outs[0]

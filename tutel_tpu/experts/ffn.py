@@ -80,10 +80,15 @@ class FusedExpertsNetwork:
             # Weight-only INT8/INT4 inference: Pallas grouped GEMM with
             # fused dequant and megablocks row-narrowing.
             from ..ops import grouped_gemm_pallas
+            # interpret on non-TPU backends; the *target* platform comes
+            # from the layer (ctx), not jax.devices()[0] — a virtual CPU
+            # mesh may be in use while a TPU is attached.
+            platform = getattr(ctx, "platform", None) \
+                or jax.devices()[0].platform
             return grouped_gemm_pallas.quantized_ffn(
                 x, params, ctx, activation_fn=self.activation_fn,
                 output_dim=self.output_dim,
-                interpret=jax.devices()[0].platform != "tpu")
+                interpret=platform != "tpu")
 
         if ctx is not None and getattr(ctx, "megablocks_size", 0) > 0:
             from ..ops import grouped_gemm
@@ -122,7 +127,9 @@ def _grouped_apply_ffn(self, params, rows, group_sizes, ctx=None):
     if isinstance(fc1_w, QuantizedWeight):
         # keep the INT4/INT8 fused-dequant kernel on the ragged layout
         from ..ops.grouped_gemm_pallas import grouped_gemm_quant_ragged
-        interpret = jax.devices()[0].platform != "tpu"
+        platform = getattr(ctx, "platform", None) \
+            or jax.devices()[0].platform
+        interpret = platform != "tpu"
         c_max = int(getattr(ctx, "ragged_c_max", 0) or rows.shape[0])
         y = grouped_gemm_quant_ragged(rows, fc1_w, group_sizes, c_max,
                                       interpret=interpret)

@@ -282,20 +282,35 @@ class MOELayer:
         return [jax.tree.map(lambda _: P(), g) for g in params["gates"]]
 
     def shard_params(self, params, adaptive_r=None):
-        """Place params on the mesh with their canonical shardings."""
+        """Place params on the mesh with their canonical shardings.
+
+        Works in multi-controller (multi-host) runs too: when the mesh
+        spans processes, `jax.device_put` cannot target non-addressable
+        devices, so each process contributes its addressable shards via
+        `jax.make_array_from_callback` (params are deterministic from the
+        seeds, so every process holds the same host copy)."""
         if self.world_size == 1:
             return params
         mesh = self._mesh(adaptive_r if adaptive_r is not None
                           else max(self.adaptive_degree, 1))
+
+        def put(v, spec):
+            sharding = NamedSharding(mesh, spec)
+            if jax.process_count() > 1:
+                import numpy as np
+                host = np.asarray(v)
+                return jax.make_array_from_callback(
+                    host.shape, sharding, lambda idx: host[idx])
+            return jax.device_put(v, sharding)
+
         ep_axes = self._ep_axes()
         especs = self._expert_specs(ep_axes)
         out = dict(params)
         out["experts"] = {
-            k: jax.device_put(v, NamedSharding(mesh, P(*especs[k][:v.ndim])))
+            k: put(v, P(*especs[k][:v.ndim]))
             for k, v in params["experts"].items()}
         out["gates"] = [
-            jax.tree.map(lambda v: jax.device_put(
-                v, NamedSharding(mesh, P())), g)
+            jax.tree.map(lambda v: put(v, P()), g)
             for g in params["gates"]]
         return out
 
@@ -542,7 +557,8 @@ class MOELayer:
 
         fn = self._jit_cache.get(cfg)
         if fn is None:
-            fn = jax.jit(self._build_forward(cfg))
+            fn = jax.jit(self._build_forward(cfg),
+                         compiler_options=self._compiler_options(cfg))
             self._jit_cache[cfg] = fn
         if valid_tokens is not None:
             vt = jnp.asarray(valid_tokens, jnp.int32).reshape(-1)
@@ -589,6 +605,18 @@ class MOELayer:
             a2a_ffn_overlap_degree or self.a2a_ffn_overlap_degree,
             megablocks_size)
         return routing_ops.align_capacity(max(1, needed), alignment)
+
+    def _compiler_options(self, cfg: _VariantCfg):
+        """XLA options per variant. The chunked a2a/FFN pipeline
+        (reference overlap.py:8-67) only overlaps if XLA splits the
+        all-to-alls into async start/done pairs and schedules the expert
+        dots inside the in-flight windows; on TPU that is opt-in.
+        tests/test_overlap_hlo.py asserts the resulting schedule."""
+        if cfg.overlap_degree > 1 and self.devices \
+                and getattr(self.devices[0], "platform", None) == "tpu":
+            return {"xla_tpu_enable_async_all_to_all": "True",
+                    "xla_tpu_enable_latency_hiding_scheduler": "True"}
+        return None
 
     # ------------------------------------------------------------------
     # Compiled-variant builders
@@ -641,6 +669,7 @@ class MOELayer:
             adaptive_degree=max(cfg.adaptive_r, 1),
             sharded_count=self.sharded_count,
             num_global_experts=self.num_global_experts,
+            platform=self.devices[0].platform,
         )
 
     def _gather_expert_params(self, expert_params, cfg: _VariantCfg):
@@ -705,7 +734,8 @@ class MOELayer:
                 out = ragged_ep.ragged_ep_forward(
                     x_local, crit, expert_params, grouped_apply, ep_axes,
                     cfg.ragged_max_recv, is_postscore=self.is_postscore,
-                    ctx=ctx)
+                    ctx=ctx,
+                    native=self.devices[0].platform == "tpu")
                 return out, lax.pmean(l_aux, ep_axes)
 
             if cfg.dense_dispatch:

@@ -165,7 +165,8 @@ def spatial_split(x, axis, dim=0):
 # dropless EP uses the same alignment-bucket trick as the MoE layer).
 # ---------------------------------------------------------------------------
 
-def batch_all_to_all_v(tensors, send_counts, axis, output_size=None):
+def batch_all_to_all_v(tensors, send_counts, axis, output_size=None,
+                       native=None):
     """Exchange variable-length row blocks of one or more tensors.
 
     Args:
@@ -175,6 +176,11 @@ def batch_all_to_all_v(tensors, send_counts, axis, output_size=None):
       send_counts: [W] int32 rows destined to each peer.
       axis: mesh axis name (or tuple).
       output_size: static row capacity of the receive buffer (default: N).
+      native: use `lax.ragged_all_to_all` (True) or the dense-staging
+        fallback (False). Default: decided by the *default* device's
+        platform — pass explicitly when the computation targets a
+        different backend than jax.devices()[0] (e.g. a virtual CPU mesh
+        while a TPU is attached).
 
     Returns:
       (received_tensors, recv_counts): rows from peer p land contiguously
@@ -192,7 +198,8 @@ def batch_all_to_all_v(tensors, send_counts, axis, output_size=None):
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(send_counts)[:-1]])
     out_offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(recv_counts)[:-1]])
-    native = jax.devices()[0].platform == "tpu"
+    if native is None:
+        native = jax.devices()[0].platform == "tpu"
     outs = []
     for t in tensors:
         n = output_size or t.shape[0]

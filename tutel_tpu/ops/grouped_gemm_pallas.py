@@ -41,14 +41,19 @@ def _gmm_kernel(counts_ref, x_ref, w_ref, s_ref, o_ref, *, bits, bm, bn,
     def _compute():
         wq = w_ref[0]                                   # [Kp, bn] int8
         if bits == 4:
+            # int32-domain nibble unpack. Measured fastest of the legal
+            # options on v5e (Mosaic rejects i8/i16 shifts and bitwise
+            # ops; f32 floor-math is ~50% slower): widen, two shifts,
+            # concat halves (split-half layout, ops/quant.py), one
+            # narrowing convert. The VPU work pipelines behind the
+            # weight-stream DMA at bn=2048.
             v = wq.astype(jnp.int32)
-            low = (v << 28) >> 28                       # sign-extend nibbles
+            low = (v << 28) >> 28                       # sign-extend
             high = v >> 4
-            q = jnp.concatenate([low, high], axis=0)    # split-half unpack
+            q = jnp.concatenate([low, high], axis=0).astype(jnp.bfloat16)
         else:
-            q = wq.astype(jnp.int32)
-        acc = jnp.dot(x_ref[0], q.astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)
+            q = wq.astype(jnp.bfloat16)
+        acc = jnp.dot(x_ref[0], q, preferred_element_type=jnp.float32)
         acc = acc * s_ref[0, 0, :][None, :]
         o_ref[0] = acc.astype(out_dtype)
 
@@ -58,7 +63,7 @@ def _gmm_kernel(counts_ref, x_ref, w_ref, s_ref, o_ref, *, bits, bm, bn,
 
 
 def grouped_gemm_quant(x, qw: QuantizedWeight, counts=None, *, bm=256,
-                       bn=1024, interpret=False):
+                       bn=None, interpret=False):
     """out[e] = x[e] @ dequant(qw[e]), rows >= counts[e] skipped (zeros).
 
     Args:
@@ -77,6 +82,22 @@ def grouped_gemm_quant(x, qw: QuantizedWeight, counts=None, *, bm=256,
     counts = counts.astype(jnp.int32)
 
     bm = min(bm, c)
+    if bn is None:
+        # Largest output tile fitting VMEM: 2 pipeline buffers of the
+        # packed block plus (int4) the int32 unpack temporary, ~12 MB
+        # budget. Measured on v5e: bn=2048 runs the 128-expert decode
+        # kernel at 656 GB/s weight-stream vs 594 at bn=1024. Only tiles
+        # that divide N are considered — a non-divisor pads the *weights*
+        # inside the traced call, a catastrophic per-step copy.
+        kp_rows = qw.values.shape[1]
+        per_col = 2 * kp_rows + (4 * kp_rows if qw.bits == 4
+                                 else 2 * kp_rows)
+        bn = 256
+        for cand in (2048, 1024, 512, 256):
+            if cand <= n and n % cand == 0 \
+                    and per_col * cand <= 12 * 1024 * 1024:
+                bn = cand
+                break
     bn = min(bn, n)
     pad_c = (-c) % bm
     pad_n = (-n) % bn
@@ -134,7 +155,7 @@ def quantized_ffn(x, params, ctx, activation_fn, output_dim,
     fc1_b, fc2_b = params.get("fc1_b"), params.get("fc2_b")
 
     import os
-    bn = int(os.environ.get("TUTEL_TPU_GMM_BN", "1024"))
+    bn = int(os.environ.get("TUTEL_TPU_GMM_BN", "0")) or None
     y = grouped_gemm_quant(x, fc1_w, counts, bn=bn, interpret=interpret)
     if fc1_b is not None:
         y = y + fc1_b.astype(y.dtype)[:, None, :]
@@ -167,7 +188,7 @@ def grouped_gemm_quant_ragged(rows, qw: QuantizedWeight, group_sizes,
     starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(gs)[:-1]])
     if bn is None:
-        bn = int(os.environ.get("TUTEL_TPU_GMM_BN", "1024"))
+        bn = int(os.environ.get("TUTEL_TPU_GMM_BN", "0")) or None
 
     # dense[e, c] = rows[starts[e] + c] for c < gs[e] (else zero-fill)
     eidx = jax.lax.broadcasted_iota(jnp.int32, (e, c_max), 0)

@@ -32,27 +32,27 @@ from . import ragged as ragged_ops
 # Differentiable building blocks.
 # ---------------------------------------------------------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _ragged_a2a(t, send_counts, recv_counts, axis, output_size):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _ragged_a2a(t, send_counts, recv_counts, axis, output_size, native):
     """Ragged a2a with an explicit VJP: the transpose of a ragged exchange
     is the reverse exchange with the count matrix transposed (exactly the
     return leg), so training works even where the native primitive lacks
     a transpose rule."""
     out, _ = net.batch_all_to_all_v(t, send_counts, axis,
-                                    output_size=output_size)
+                                    output_size=output_size, native=native)
     return out
 
 
-def _ragged_a2a_fwd(t, send_counts, recv_counts, axis, output_size):
+def _ragged_a2a_fwd(t, send_counts, recv_counts, axis, output_size, native):
     out, _ = net.batch_all_to_all_v(t, send_counts, axis,
-                                    output_size=output_size)
+                                    output_size=output_size, native=native)
     return out, (send_counts, recv_counts, t.shape[0])
 
 
-def _ragged_a2a_bwd(axis, output_size, res, g):
+def _ragged_a2a_bwd(axis, output_size, native, res, g):
     send_counts, recv_counts, n_in = res
     back, _ = net.batch_all_to_all_v(g, recv_counts, axis,
-                                     output_size=n_in)
+                                     output_size=n_in, native=native)
     return back, None, None
 
 
@@ -96,7 +96,7 @@ def _expert_ids_from_counts(per_src_expert_counts, recv_starts, n_rows):
 
 
 def ragged_ep_forward(x_local, crit, expert_params, expert_apply, axis,
-                      max_recv, is_postscore=True, ctx=None):
+                      max_recv, is_postscore=True, ctx=None, native=None):
     """Dropless EP forward with ragged exchanges.
 
     Args:
@@ -132,7 +132,8 @@ def ragged_ep_forward(x_local, crit, expert_params, expert_apply, axis,
         rd.group_sizes.reshape(w, e_l), axis)             # [W, E_l]
     recv_counts = jnp.sum(counts_matrix, axis=1).astype(jnp.int32)  # [W]
 
-    recv_rows = _ragged_a2a(rows, send_counts, recv_counts, axis, max_recv)
+    recv_rows = _ragged_a2a(rows, send_counts, recv_counts, axis,
+                            max_recv, native)
 
     recv_starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(recv_counts)[:-1]])
@@ -147,6 +148,7 @@ def ragged_ep_forward(x_local, crit, expert_params, expert_apply, axis,
     y = expert_apply(expert_params, grouped, group_sizes, ctx)
 
     y = _perm_take(y, inverse, order)                     # back to src-major
-    back_rows = _ragged_a2a(y, recv_counts, send_counts, axis, t)
+    back_rows = _ragged_a2a(y, recv_counts, send_counts, axis, t,
+                            native)
     return ragged_ops.decode_ragged(back_rows, rd,
                                     is_postscore=is_postscore)
