@@ -45,3 +45,53 @@ def test_invalid_candidates_pruned():
     result = tune_moe(layer, params, x, candidates=cands, iters=1)
     assert len(result["timings"]) >= 1
     assert "adaptive_r\": 7" not in result["best"]
+
+
+def test_candidates_cover_layer_knobs():
+    """Round-1 verdict item: the tuner must search every knob the layer
+    exposes — megablocks sizes (single-device inference) and ragged vs
+    padded EP (dropless multi-device), not just (adaptive_r, overlap)."""
+    from tutel_tpu.autotune.tuner import moe_candidates
+
+    mega_layer = moe.moe_layer(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 0.0},
+        experts={"type": "ffn", "num_experts_per_device": 4,
+                 "hidden_size_per_expert": 32},
+        model_dim=32, seeds=(1, 1, 1), group=jax.devices()[:1])
+    cands = moe_candidates(mega_layer)
+    assert any("megablocks_size" in c for c in cands), cands
+
+    ep_layer = moe.moe_layer(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 0.0},
+        experts={"type": "ffn", "num_experts_per_device": 1,
+                 "hidden_size_per_expert": 32},
+        model_dim=32, seeds=(1, 1, 1), group=jax.devices()[:8])
+    cands = moe_candidates(ep_layer)
+    assert any(c.get("use_ragged_ep") for c in cands), cands
+
+
+def test_tune_layer_variants_2dh_and_a2a_dtype():
+    """Constructor-level knobs (use_2dh, a2a_dtype) tuned by building
+    layer variants sharing one params pytree."""
+    import jax.numpy as jnp
+    from tutel_tpu.autotune.tuner import (layer_variant_candidates,
+                                          tune_layer_variants)
+
+    def make_layer(**over):
+        kwargs = dict(
+            gate_type={"type": "top", "k": 2, "capacity_factor": 1.0},
+            experts={"type": "ffn", "num_experts_per_device": 1,
+                     "hidden_size_per_expert": 32},
+            model_dim=32, seeds=(1, 1, 1), group=jax.devices()[:8])
+        kwargs.update(over)
+        return moe.moe_layer(**kwargs)
+
+    base = make_layer()
+    params = base.shard_params(base.init(jax.random.PRNGKey(0)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 32))
+    variants = layer_variant_candidates(use_2dh_hosts=(2,),
+                                        a2a_dtypes=(jnp.bfloat16,))
+    result = tune_layer_variants(make_layer, params, x,
+                                 variants=variants, iters=1)
+    assert len(result["timings"]) == 3          # base, 2dh, bf16-a2a
+    assert result["best"] in result["timings"]

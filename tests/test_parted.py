@@ -1,0 +1,127 @@
+"""Parted SPMD auto-partitioner (reference tutel/parted/*).
+
+End-to-end: einsum-spec graph -> state search -> compiled SPMD program
+on the 8-device CPU mesh, numerically equal to the unsharded program,
+with GSPMD inserting the collectives the plan implies (visible in the
+compiled HLO — the delegation the round-1 rationale claimed, now
+demonstrated).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tutel_tpu import parted
+from tutel_tpu.parted import spmdx, solver
+from tutel_tpu.parted.spmdx import REPLICATED, ZERO
+
+
+@pytest.fixture(autouse=True)
+def _session():
+    parted.init(jax.devices()[:8])
+    yield
+
+
+def _mlp_graph(n=512, k=64, m=64, h=128):
+    x = spmdx.data((n, k), name="x")
+    w1 = spmdx.param((k, h), name="w1")
+    w2 = spmdx.param((h, m), name="w2")
+    y1 = spmdx.custom("NH = NK, KH+", [x, w1], name="y1")
+    act = spmdx.custom("NH = NH", [y1], name="act",
+                       fn=lambda t: jax.nn.relu(t))
+    y2 = spmdx.custom("NM = NH, HM+", [act, w2], name="y2")
+    return x, w1, w2, y2
+
+
+def test_parser_shapes_and_reduce():
+    p = spmdx.Parser("NM = NK, KM+")
+    assert p.out_dims == ["N", "M"]
+    assert p.reduce_axes == ["K"]
+    assert p.einsum_expr() == "nk,km->nm"
+    with pytest.raises(ValueError):
+        spmdx.Parser("NM = NK, KM")     # dropped dim without marker
+
+
+def test_flops_and_shape_inference():
+    x = spmdx.data((64, 32))
+    w = spmdx.param((32, 16))
+    y = spmdx.custom("NM = NK, KM+", [x, w])
+    assert y.shape == (64, 16)
+    assert y.flops() == 2 * 64 * 32 * 16
+
+
+def test_solver_prefers_data_parallel_for_big_batch():
+    """Big batch, small weights: the solved plan shards the batch dim
+    (DP) and replicates the weights — no collective in the forward."""
+    x, w1, w2, y2 = _mlp_graph(n=4096, k=64, m=64, h=128)
+    (cost, cfg), = spmdx.optimize(y2, top_k=1)
+    assert cfg["x"] == 0, cfg
+    assert cfg["y1"] == 0 and cfg["y2"] == 0, cfg
+    assert cfg["w1"] in (REPLICATED, ZERO) and cfg["w2"] in (REPLICATED,
+                                                            ZERO), cfg
+
+
+def test_solver_shards_giant_weights():
+    """Tiny batch, huge weights: replicating the weights is the wrong
+    plan; the solver must put them in a sharded state (TP dim or ZeRO)."""
+    x, w1, w2, y2 = _mlp_graph(n=8, k=1024, m=1024, h=4096)
+    (cost, cfg), = spmdx.optimize(y2, top_k=1)
+    assert cfg["w1"] != REPLICATED and cfg["w2"] != REPLICATED, cfg
+
+
+def test_compiled_program_matches_unsharded():
+    x, w1, w2, y2 = _mlp_graph()
+    ranked = spmdx.optimize(y2, top_k=4)
+    xs = jax.random.normal(jax.random.PRNGKey(0), (512, 64))
+    w1v = jax.random.normal(jax.random.PRNGKey(1), (64, 128)) * 0.1
+    w2v = jax.random.normal(jax.random.PRNGKey(2), (128, 64)) * 0.1
+    ref = jax.nn.relu(xs @ w1v) @ w2v
+    for cost, cfg in ranked:
+        prog = spmdx.compile(y2, cfg)
+        out = prog(xs, w1v, w2v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5, err_msg=str(cfg))
+
+
+def test_gspmd_inserts_allreduce_for_k_split():
+    """Force the contraction-split plan: GSPMD must materialize the
+    all-reduce the reference's FAR primitive emitted by hand
+    (reference patterns.py:26-42)."""
+    x = spmdx.data((64, 512), name="x")
+    w = spmdx.param((512, 64), name="w")
+    y = spmdx.custom("NM = NK, KM+", [x, w], name="y")
+    cfg = spmdx.Config({"x": 1, "w": 0, "y": REPLICATED})
+    prog = spmdx.compile(y, cfg)
+    txt = prog.compiled_text()
+    assert "all-reduce" in txt, txt[:800]
+    xs = jax.random.normal(jax.random.PRNGKey(0), (64, 512))
+    ws = jax.random.normal(jax.random.PRNGKey(1), (512, 64)) * 0.1
+    np.testing.assert_allclose(np.asarray(prog(xs, ws)),
+                               np.asarray(xs @ ws), rtol=2e-4, atol=2e-4)
+
+
+def test_zero_param_allgathers_on_use():
+    """ZeRO state: the param lives sharded on dim 0 and is gathered on
+    use (reference patterns.py:111-129 ZERO primitive)."""
+    x = spmdx.data((64, 64), name="x")
+    w = spmdx.param((64, 64), name="w")
+    y = spmdx.custom("NM = NK, KM+", [x, w], name="y")
+    cfg = spmdx.Config({"x": 0, "w": ZERO, "y": 0})
+    prog = spmdx.compile(y, cfg)
+    assert "all-gather" in prog.compiled_text()
+    xs = jax.random.normal(jax.random.PRNGKey(0), (64, 64))
+    ws = jax.random.normal(jax.random.PRNGKey(1), (64, 64)) * 0.1
+    np.testing.assert_allclose(np.asarray(prog(xs, ws)),
+                               np.asarray(xs @ ws), rtol=2e-4, atol=2e-4)
+
+
+def test_measured_refinement_ranks_plans():
+    """optimize(measure=True): the reference's measured-cost loop
+    (executor.py:106-115) as in-process jitted timing."""
+    x, w1, w2, y2 = _mlp_graph(n=256, k=32, m=32, h=64)
+    ranked = spmdx.optimize(y2, top_k=3, measure=True, max_candidates=3)
+    assert len(ranked) == 3
+    times = [t for t, _ in ranked]
+    assert times == sorted(times)
+    assert all(t > 0 for t in times)
