@@ -1,0 +1,92 @@
+"""Quantization perplexity-delta report (BASELINE.md north-star row:
+'Perplexity vs FP16 baseline within stated quantization delta').
+
+Trains the Transformer-MoE LM on a structured synthetic corpus, then
+evaluates held-out nll with fp32 vs INT8 vs INT4 expert weights and
+prints the deltas (the docs/RESULTS.md table source).
+
+Run: python benchmarks/perplexity_delta.py [--steps 400]
+"""
+
+import argparse
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=400)
+    parser.add_argument("--vocab", type=int, default=127)
+    parser.add_argument("--seq", type=int, default=32)
+    parser.add_argument("--model_dim", type=int, default=64)
+    parser.add_argument("--experts", type=int, default=8)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from tutel_tpu.models import TransformerMoE, TransformerMoEConfig
+    from tutel_tpu.ops import quant
+
+    V, T = args.vocab, args.seq
+    cfg = TransformerMoEConfig(
+        vocab_size=V, max_len=T, model_dim=args.model_dim, num_heads=4,
+        num_layers=2, ffn_hidden=2 * args.model_dim, moe_every=1,
+        num_local_experts=args.experts, top_k=2,
+        expert_hidden=2 * args.model_dim)
+    model = TransformerMoE(cfg, group=jax.devices()[:1])
+    params = model.init(jax.random.PRNGKey(0))
+
+    def corpus(key, n):
+        start = jax.random.randint(key, (n, 1), 0, V)
+
+        def step(c, _):
+            return (c * 7 + 3) % V, c
+        _, toks = jax.lax.scan(step, start, None, length=T)
+        return jnp.swapaxes(toks[..., 0], 0, 1)
+
+    train = corpus(jax.random.PRNGKey(1), 64)
+    held = corpus(jax.random.PRNGKey(2), 64)
+
+    @jax.jit
+    def train_step(p, tokens, key):
+        l, g = jax.value_and_grad(
+            lambda p: model.loss(p, tokens, key=key, training=True)[0])(p)
+        return jax.tree.map(lambda a, b: a - 0.05 * b, p, g), l
+
+    key = jax.random.PRNGKey(3)
+    for i in range(args.steps):
+        key, sk = jax.random.split(key)
+        params, l = train_step(params, train, sk)
+
+    def eval_nll(p):
+        return float(model.loss(p, held, training=False)[1][0])
+
+    def quantized(bits):
+        qp = jax.tree.map(lambda x: x, params)
+        for i in model.moe_layers:
+            blk = dict(qp["blocks"][i])
+            moe_params = dict(blk["moe"])
+            moe_params["experts"] = quant.quantize_expert_params(
+                moe_params["experts"], bits=bits)
+            blk["moe"] = moe_params
+            qp["blocks"][i] = blk
+        return qp
+
+    nll = eval_nll(params)
+    out = {"metric": "lm_nll_quant_delta", "uniform_nll": round(
+        math.log(V), 4), "fp32_nll": round(nll, 4)}
+    for bits in (8, 4):
+        q = eval_nll(quantized(bits))
+        out[f"int{bits}_nll"] = round(q, 4)
+        out[f"int{bits}_delta"] = round(q - nll, 4)
+        out[f"int{bits}_ppl_ratio"] = round(math.exp(q - nll), 4)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

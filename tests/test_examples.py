@@ -65,3 +65,34 @@ def test_zero_example_runs():
         num_experts=2, top=2, num_steps=2, lr=1e-3, device="cpu"),
         log=lambda *a: None)
     assert loss == loss
+
+
+def test_custom_expert_sharded_runs():
+    """Custom expert with ZeRO-sharded params: the regather protocol
+    delivers the full flat parameter to user code and training steps
+    decrease the loss (reference helloworld_custom_expert_sharded.py)."""
+    from tutel_tpu.examples import helloworld_custom_expert_sharded as ex
+    losses = ex.run(ex.build_args(["--device", "cpu"]),
+                    log=lambda *a, **k: None)
+    assert len(losses) == 5
+    assert losses[-1] < losses[0]
+
+
+def test_amp_example_runs():
+    """bf16-compute / fp32-master mixed precision (reference
+    helloworld_amp.py): params stay fp32 and the loss decreases."""
+    from tutel_tpu.examples import helloworld_amp as ex
+    losses = ex.run(ex.build_args(["--device", "cpu", "--num_steps", "6"]),
+                    log=lambda *a, **k: None)
+    assert len(losses) == 6
+    assert losses[-1] < losses[0]
+
+
+def test_ddp_tutel_example_runs():
+    """Manual tutel-style DDP: explicit grad all-reduce honoring
+    skip_allreduce (reference helloworld_ddp_tutel.py)."""
+    from tutel_tpu.examples import helloworld_ddp_tutel as ex
+    losses = ex.run(ex.build_args(["--device", "cpu"]),
+                    log=lambda *a, **k: None)
+    assert len(losses) == 5
+    assert losses[-1] < losses[0]

@@ -71,3 +71,26 @@ def test_masked_tail_produces_no_output_effect():
                    capacity_override=eng._capacity_cache[
                        eng.capacity_bucket])
     assert jnp.allclose(out, ref[0], atol=1e-5)
+
+
+def test_chunked_run_matches_stepwise():
+    """Multi-step scheduling (step_chunk / run(chunk=N)) produces the
+    same final outputs as the per-step loop."""
+    layer = _layer()
+    params = layer.init(jax.random.PRNGKey(0))
+
+    def reqs():
+        return [Request(uid=i,
+                        state=jax.random.normal(jax.random.fold_in(
+                            jax.random.PRNGKey(1), i), (32,)),
+                        remaining=4 + (i % 3))
+                for i in range(6)]
+
+    e1 = MoeDecodeEngine(layer, params, max_batch=4)
+    f1 = e1.run(reqs(), key=jax.random.PRNGKey(7))
+    e2 = MoeDecodeEngine(layer, params, max_batch=4)
+    f2 = e2.run(reqs(), key=jax.random.PRNGKey(7), chunk=4)
+    assert set(f1) == set(f2)
+    for uid in f1:
+        assert jnp.allclose(f1[uid], f2[uid], atol=1e-5), uid
+    assert e2.stats["finished"] == 6

@@ -305,10 +305,25 @@ class MOELayer:
 
         ep_axes = self._ep_axes()
         especs = self._expert_specs(ep_axes)
+
+        def put_expert(k, v):
+            from ..ops.quant import QuantizedWeight
+            spec = especs[k]
+            if isinstance(v, QuantizedWeight):
+                # values carry the full spec; scales are [E, 1, N] — drop
+                # the shard axis on any size-1 dim (TP x quantized
+                # weights: a K-sliced matrix keeps replicated scales).
+                sspec = [s if v.scales.shape[i] != 1 else None
+                         for i, s in enumerate(spec[:v.scales.ndim])]
+                return QuantizedWeight(
+                    values=put(v.values, P(*spec[:v.values.ndim])),
+                    scales=put(v.scales, P(*sspec)),
+                    bits=v.bits, orig_k=v.orig_k, blocks=v.blocks)
+            return put(v, P(*spec[:v.ndim]))
+
         out = dict(params)
         out["experts"] = {
-            k: put(v, P(*especs[k][:v.ndim]))
-            for k, v in params["experts"].items()}
+            k: put_expert(k, v) for k, v in params["experts"].items()}
         out["gates"] = [
             jax.tree.map(lambda v: put(v, P()), g)
             for g in params["gates"]]
@@ -675,8 +690,33 @@ class MOELayer:
     def _gather_expert_params(self, expert_params, cfg: _VariantCfg):
         """Regather sharded expert weights for the chosen adaptive_r
         (reference experts/ffn.py:83-109 zero_gather choreography)."""
+        from ..ops.quant import QuantizedWeight
         shard_axes = self._expert_shard_axes()
         r = cfg.adaptive_r
+
+        def gather(p, axes, dim):
+            """all_gather that understands QuantizedWeight leaves: the
+            packed values gather on `dim`; the [E, 1, N] scales gather
+            only where their dim is real (size > 1) — a K-sliced
+            quantized matrix keeps its scales replicated."""
+            if isinstance(p, QuantizedWeight):
+                if p.bits == 4 and p.blocks > 1:
+                    raise NotImplementedError(
+                        "INT4 TP weights are nibble-packed per shard "
+                        "block; regathering them (adaptive_r=0 or "
+                        "adaptive_r < sharded_count) would interleave "
+                        "blocks. Run with adaptive_r == sharded_count "
+                        "(parallel_type='model').")
+                vals = lax.all_gather(p.values, axes, axis=dim, tiled=True)
+                scales = p.scales
+                if scales.shape[dim] != 1:
+                    scales = lax.all_gather(scales, axes, axis=dim,
+                                            tiled=True)
+                return QuantizedWeight(values=vals, scales=scales,
+                                       bits=p.bits, orig_k=p.orig_k,
+                                       blocks=p.blocks)
+            return lax.all_gather(p, axes, axis=dim, tiled=True)
+
         out = {}
         for name, p in expert_params.items():
             e_dim, s_dim = shard_axes.get(name, (0, None))
@@ -684,15 +724,13 @@ class MOELayer:
                 # DP-expert mode: gather everything to global shapes.
                 if self.sharded_count > 1:
                     if s_dim is not None:
-                        p = lax.all_gather(p, "g", axis=s_dim, tiled=True)
-                        p = lax.all_gather(p, "r", axis=s_dim, tiled=True)
-                    p = lax.all_gather(p, "e", axis=e_dim, tiled=True)
+                        p = gather(p, "g", s_dim)
+                        p = gather(p, "r", s_dim)
+                    p = gather(p, "e", e_dim)
                 elif cfg.use_2dh:
-                    p = lax.all_gather(p, ("dcn", "ici"), axis=e_dim,
-                                       tiled=True)
+                    p = gather(p, ("dcn", "ici"), e_dim)
                 else:
-                    p = lax.all_gather(p, ("e", "r", "g"), axis=e_dim,
-                                       tiled=True)
+                    p = gather(p, ("e", "r", "g"), e_dim)
             elif self.sharded_count > 1 and s_dim is not None:
                 if name == "fc2_b":
                     # Output-dim bias: needs the full vector on every rank,
@@ -704,7 +742,7 @@ class MOELayer:
                         p = p / r
                 elif cfg.adaptive_r < self.sharded_count:
                     # Hidden-dim shards regathered to H/r per replica.
-                    p = lax.all_gather(p, "g", axis=s_dim, tiled=True)
+                    p = gather(p, "g", s_dim)
             out[name] = p
         return out
 
@@ -816,11 +854,24 @@ class MOELayer:
         mesh = self._mesh(cfg.adaptive_r)
         especs = self._expert_specs(ep_axes)
 
+        def expert_spec(k, v):
+            from ..ops.quant import QuantizedWeight
+            spec = especs[k]
+            if isinstance(v, QuantizedWeight):
+                # per-leaf specs: scales are [E, 1, N] — no shard axis on
+                # their size-1 dims (TP keeps K-sliced scales replicated)
+                sspec = [s if v.scales.shape[i] != 1 else None
+                         for i, s in enumerate(spec[:v.scales.ndim])]
+                return QuantizedWeight(
+                    values=P(*spec[:v.values.ndim]), scales=P(*sspec),
+                    bits=v.bits, orig_k=v.orig_k, blocks=v.blocks)
+            return P(*spec[:v.ndim])
+
         def fn(params, x2, key, valid=None):
             expert_params = params["experts"]
             in_specs = [
                 jax.tree.map(lambda _: P(), params["gates"][cfg.gate_index]),
-                {k: P(*especs[k][:v.ndim]) for k, v in expert_params.items()},
+                {k: expert_spec(k, v) for k, v in expert_params.items()},
                 P(ep_axes),
                 P(),
             ]

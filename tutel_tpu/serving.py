@@ -29,6 +29,7 @@ from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclasses.dataclass
@@ -52,6 +53,7 @@ class MoeDecodeEngine:
         self._buf = jnp.zeros((self.max_batch, m), layer.dtype)
         self._slots: List[Optional[Request]] = [None] * self.max_batch
         self._free = list(range(self.max_batch))[::-1]
+        self._staged: List[Any] = []   # (slot, state) admissions to flush
         self._capacity_cache: Dict[int, int] = {}
         self._step = 0
         self.stats = {"steps": 0, "tokens": 0, "joined": 0, "finished": 0}
@@ -59,15 +61,32 @@ class MoeDecodeEngine:
     # -- admission ------------------------------------------------------
 
     def try_add(self, request: Request) -> bool:
-        """Admit a request if a slot is free (continuous batching join)."""
+        """Admit a request if a slot is free (continuous batching join).
+
+        Admissions are staged host-side and flushed as ONE batched
+        buffer write at the next step — per-row device scatters would
+        cost one dispatch each, which dominates wall time on
+        latency-bound links (remote-attached devices)."""
         if not self._free:
             return False
         slot = self._free.pop()
         self._slots[slot] = request
-        self._buf = self._buf.at[slot].set(
-            request.state.astype(self._buf.dtype))
+        self._staged.append((slot, request.state))
         self.stats["joined"] += 1
         return True
+
+    def _flush_admissions(self):
+        if not self._staged:
+            return
+        slots = jnp.asarray([s for s, _ in self._staged], jnp.int32)
+        states = [st for _, st in self._staged]
+        if all(isinstance(st, np.ndarray) for st in states):
+            stack = jnp.asarray(np.stack(states), self._buf.dtype)
+        else:
+            stack = jnp.stack(
+                [jnp.asarray(st) for st in states]).astype(self._buf.dtype)
+        self._buf = self._buf.at[slots].set(stack)
+        self._staged = []
 
     @property
     def active(self) -> int:
@@ -101,11 +120,24 @@ class MoeDecodeEngine:
         Returns {uid: output vector} for sequences that produced a token
         this step; finished sequences leave their slots.
         """
+        return self.step_chunk(1, key=key)
+
+    def step_chunk(self, n_steps: int, key=None) -> Dict[Any, jnp.ndarray]:
+        """Run `n_steps` decode steps in ONE device dispatch.
+
+        Continuous batching admits/retires requests only at chunk
+        boundaries, so when the queue is idle the engine amortizes the
+        host-dispatch round trip over the whole chunk (the analogue of
+        multi-step scheduling in serving stacks); chunk=1 is the plain
+        per-step loop. All buffer updates are vectorized — no per-row
+        device ops on the host path.
+        """
         if self.active == 0:
             return {}
         if key is None:
             key = jax.random.PRNGKey(self._step)
-        self._step += 1
+        self._step += n_steps
+        self._flush_admissions()
 
         n_valid = self.active
         # pack active slots into the leading positions (static shapes;
@@ -114,42 +146,98 @@ class MoeDecodeEngine:
                 [i for i, r in enumerate(self._slots) if r is None]
         perm = jnp.asarray(order, jnp.int32)
         packed = jnp.take(self._buf, perm, axis=0)
-
         cap = self._capacity_for(self._bucket(n_valid), key)
-        out, _ = self.layer(
-            self.params, packed, key=key, top_k=self.top_k,
-            valid_tokens=n_valid, capacity_override=cap)
+
+        if n_steps == 1:
+            out, _ = self.layer(
+                self.params, packed, key=key, top_k=self.top_k,
+                valid_tokens=n_valid, capacity_override=cap)
+        else:
+            layer = self.layer
+            top_k = self.top_k
+
+            keys = jax.random.split(key, n_steps)
+            # the compiled-chunk cache lives on the LAYER so every engine
+            # driving the same layer shares warm executables (a per-engine
+            # cache would recompile the scan for each new engine instance)
+            cache = getattr(self.layer, "_serving_chunk_cache", None)
+            if cache is None:
+                cache = self.layer._serving_chunk_cache = {}
+            ck = (n_steps, n_valid, cap, self.top_k)
+            run = cache.get(ck)
+            if run is None:
+                # params must flow through the jit boundary as an
+                # argument — a closure over self.params would bake the
+                # (possibly hundreds of MB of) expert weights into the
+                # compiled program as literal constants.
+                def run(params, packed, keys):
+                    def body(carry, k):
+                        buf, = carry
+                        o, _ = layer(params, buf, key=k, top_k=top_k,
+                                     valid_tokens=n_valid,
+                                     capacity_override=cap)
+                        return (o,), None
+                    (out,), _ = jax.lax.scan(body, (packed,), keys)
+                    return out
+                run = jax.jit(run)
+                cache[ck] = run
+            out = run(self.params, packed, keys)
+
+        # vectorized write-back: active slots take their new state, free
+        # slots keep the old buffer (single device op, no row loop)
+        inv = jnp.asarray(np.argsort(order), jnp.int32)
+        active_mask = jnp.asarray(
+            [r is not None for r in self._slots], bool)
+        self._buf = jnp.where(active_mask[:, None],
+                              jnp.take(out, inv, axis=0), self._buf)
+
+        # ONE batched device->host transfer for this chunk's outputs;
+        # per-row lazy slices would be one device op (and one link
+        # round-trip) each.
+        out_np = np.asarray(jax.device_get(out[:n_valid]))
 
         results: Dict[Any, jnp.ndarray] = {}
-        out_rows = out  # [max_batch, M]; row j corresponds to order[j]
         for j, slot in enumerate(order[:n_valid]):
             req = self._slots[slot]
-            results[req.uid] = out_rows[j]
-            req.remaining -= 1
-            req.state = out_rows[j]
-            self._buf = self._buf.at[slot].set(out_rows[j])
+            results[req.uid] = out_np[j]
+            req.remaining -= n_steps
+            req.state = out_np[j]
             if req.remaining <= 0:
                 self._slots[slot] = None
                 self._free.append(slot)
                 self.stats["finished"] += 1
-        self.stats["steps"] += 1
-        self.stats["tokens"] += n_valid
+        self.stats["steps"] += n_steps
+        self.stats["tokens"] += n_valid * n_steps
         return results
 
     def run(self, requests: List[Request], key=None,
-            max_steps: int = 10_000) -> Dict[Any, jnp.ndarray]:
+            max_steps: int = 10_000, chunk: int = 1
+            ) -> Dict[Any, jnp.ndarray]:
         """Drive the engine until every request finishes; requests join as
-        slots free up. Returns each uid's final output."""
+        slots free up. Returns each uid's final output.
+
+        chunk > 1 enables multi-step scheduling: when no request can
+        join (queue drained or batch full), up to `chunk` decode steps
+        run in one device dispatch (bounded by the shortest remaining
+        length so retirement still happens on time)."""
         pending = list(requests)[::-1]
         finals: Dict[Any, jnp.ndarray] = {}
         if key is None:
             key = jax.random.PRNGKey(0)
-        for _ in range(max_steps):
+        steps_done = 0
+        while steps_done < max_steps:
             while pending and self.try_add(pending[-1]):
                 pending.pop()
             if self.active == 0 and not pending:
                 break
+            k = 1
+            if chunk > 1 and not (pending and self._free):
+                k = min(chunk,
+                        min(r.remaining for r in self._slots
+                            if r is not None))
+                k = max(k, 1)
             key, sk = jax.random.split(key)
-            for uid, out in self.step(sk).items():
+            for uid, out in self.step_chunk(k, key=sk).items():
                 finals[uid] = out
+            steps_done += k
         return finals
