@@ -96,3 +96,13 @@ def test_ddp_tutel_example_runs():
                     log=lambda *a, **k: None)
     assert len(losses) == 5
     assert losses[-1] < losses[0]
+
+
+def test_pipeline_example_runs():
+    """4-stage GPipe MoE pipeline trains and the loss decreases
+    (beyond-reference: PP is absent in the reference)."""
+    from tutel_tpu.examples import helloworld_pipeline as ex
+    losses = ex.run(ex.build_args(["--device", "cpu"]),
+                    log=lambda *a, **k: None)
+    assert len(losses) == 5
+    assert losses[-1] < losses[0]

@@ -1,0 +1,146 @@
+"""Pipeline parallelism (GPipe over a `pp` mesh axis).
+
+Beyond-reference capability (SURVEY.md §2.3 marks PP ABSENT in the
+reference). Tested in the reference's own style: pipelined execution
+must be *equal* to the plain sequential stage chain, including
+gradients and MoE aux losses.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tutel_tpu.parallel.pipeline import pipeline, stack_stage_params
+
+
+def _mesh(n, axis="pp"):
+    return jax.sharding.Mesh(np.array(jax.devices()[:n]), (axis,))
+
+
+def _mlp_params(key, n_stages, dim, hidden):
+    ks = jax.random.split(key, n_stages)
+    per_stage = [
+        {"w1": jax.random.normal(k, (dim, hidden)) * 0.1,
+         "w2": jax.random.normal(jax.random.fold_in(k, 1),
+                                 (hidden, dim)) * 0.1}
+        for k in ks]
+    return per_stage
+
+
+def _mlp_stage(p, x):
+    return x + jax.nn.gelu(x @ p["w1"]) @ p["w2"]
+
+
+def _sequential(stage_fn, per_stage, x):
+    for p in per_stage:
+        x = stage_fn(p, x)
+    return x
+
+
+def test_pipeline_matches_sequential():
+    n_stages, dim, hidden = 4, 16, 32
+    per_stage = _mlp_params(jax.random.PRNGKey(0), n_stages, dim, hidden)
+    x = jax.random.normal(jax.random.PRNGKey(1), (24, dim))
+
+    fn = pipeline(_mlp_stage, n_stages, _mesh(n_stages), n_micro=8)
+    got = fn(stack_stage_params(per_stage), x)
+    want = _sequential(_mlp_stage, per_stage, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_pipeline_grads_match_sequential():
+    n_stages, dim, hidden = 4, 8, 16
+    per_stage = _mlp_params(jax.random.PRNGKey(2), n_stages, dim, hidden)
+    stacked = stack_stage_params(per_stage)
+    x = jax.random.normal(jax.random.PRNGKey(3), (16, dim))
+    fn = pipeline(_mlp_stage, n_stages, _mesh(n_stages), n_micro=4)
+
+    def loss_pp(p):
+        return jnp.sum(fn(p, x) ** 2)
+
+    def loss_seq(stacked_p):
+        per = [jax.tree.map(lambda l: l[i], stacked_p)
+               for i in range(n_stages)]
+        return jnp.sum(_sequential(_mlp_stage, per, x) ** 2)
+
+    g_pp = jax.grad(loss_pp)(stacked)
+    g_seq = jax.grad(loss_seq)(stacked)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5),
+        g_pp, g_seq)
+
+
+def test_pipeline_remat_matches():
+    n_stages, dim, hidden = 2, 8, 16
+    per_stage = _mlp_params(jax.random.PRNGKey(4), n_stages, dim, hidden)
+    stacked = stack_stage_params(per_stage)
+    x = jax.random.normal(jax.random.PRNGKey(5), (8, dim))
+    f0 = pipeline(_mlp_stage, n_stages, _mesh(n_stages), n_micro=4)
+    f1 = pipeline(_mlp_stage, n_stages, _mesh(n_stages), n_micro=4,
+                  remat=True)
+    g0 = jax.grad(lambda p: jnp.sum(f0(p, x) ** 2))(stacked)
+    g1 = jax.grad(lambda p: jnp.sum(f1(p, x) ** 2))(stacked)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6),
+        g0, g1)
+
+
+def test_pipeline_moe_stage_with_aux():
+    """A MoE block as a pipeline stage: each stage owns its experts
+    locally (EP-within-stage by layout); outputs and the accumulated
+    l_aux equal the sequential per-microbatch chain."""
+    from tutel_tpu import moe
+
+    n_stages, dim = 2, 16
+    layer = moe.moe_layer(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 1.0,
+                   "gate_noise": 0.0},
+        experts={"type": "ffn", "num_experts_per_device": 4,
+                 "hidden_size_per_expert": 32},
+        model_dim=dim, seeds=(1, 1, 1), group=jax.devices()[:1])
+    per_stage = [layer.init(jax.random.PRNGKey(10 + i))
+                 for i in range(n_stages)]
+    key = jax.random.PRNGKey(42)
+
+    def stage(p, x):
+        out, l_aux = layer(p, x, key=key)
+        return x + out, l_aux
+
+    x = jax.random.normal(jax.random.PRNGKey(6), (12, dim))
+    n_micro = 3
+    fn = pipeline(stage, n_stages, _mesh(n_stages), n_micro=n_micro,
+                  has_aux=True)
+    got, got_aux = fn(stack_stage_params(per_stage), x)
+
+    # sequential reference: chain stages per microbatch (l_aux is
+    # batch-composition dependent, so the reference must microbatch too)
+    mb = x.shape[0] // n_micro
+    outs, auxes = [], []
+    for i in range(n_micro):
+        xi = x[i * mb:(i + 1) * mb]
+        for p in per_stage:
+            xi, a = stage(p, xi)
+            auxes.append(a)
+        outs.append(xi)
+    want = jnp.concatenate(outs, axis=0)
+    want_aux = sum(jnp.float32(a) for a in auxes) / n_micro
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(got_aux), float(want_aux),
+                               rtol=1e-5)
+
+
+def test_pipeline_validates_shapes():
+    n_stages, dim, hidden = 2, 8, 8
+    per_stage = _mlp_params(jax.random.PRNGKey(7), n_stages, dim, hidden)
+    fn = pipeline(_mlp_stage, n_stages, _mesh(n_stages), n_micro=4)
+    with pytest.raises(ValueError, match="not divisible"):
+        fn(stack_stage_params(per_stage),
+           jnp.zeros((10, dim)))
+    with pytest.raises(ValueError, match="mesh axis"):
+        pipeline(_mlp_stage, 3, _mesh(2), n_micro=2)
