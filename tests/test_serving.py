@@ -2,6 +2,7 @@
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tutel_tpu import moe
 from tutel_tpu.serving import MoeDecodeEngine, Request
@@ -94,3 +95,64 @@ def test_chunked_run_matches_stepwise():
     for uid in f1:
         assert jnp.allclose(f1[uid], f2[uid], atol=1e-5), uid
     assert e2.stats["finished"] == 6
+
+
+def _lm_model():
+    from tutel_tpu.models import TransformerMoE, TransformerMoEConfig
+    cfg = TransformerMoEConfig(
+        vocab_size=61, max_len=48, model_dim=32, num_heads=2,
+        num_layers=2, ffn_hidden=64, moe_every=2, num_local_experts=4,
+        top_k=2, expert_hidden=64, capacity_factor=8.0)
+    return TransformerMoE(cfg, group=jax.devices()[:1]), cfg
+
+
+def _ref_generate(model, params, prompt, n, ov):
+    """No-cache greedy reference: re-run the full forward per token."""
+    seq = [int(t) for t in prompt]
+    for _ in range(n):
+        logits, _ = model.apply(params, jnp.asarray([seq], jnp.int32),
+                                moe_overrides=ov)
+        seq.append(int(jnp.argmax(logits[0, -1])))
+    return seq[len(prompt):]
+
+
+def test_lm_engine_matches_full_forward():
+    """LmDecodeEngine's KV-cache greedy decode produces the same tokens
+    as re-running the full forward per step."""
+    from tutel_tpu.serving import LmDecodeEngine, LmRequest
+    model, cfg = _lm_model()
+    params = model.init(jax.random.PRNGKey(0))
+    ov = {"capacity_factor": 8.0}
+    prompt = np.asarray([5, 17, 3, 42, 8], np.int32)
+
+    eng = LmDecodeEngine(model, params, max_batch=4, moe_overrides=ov)
+    got = eng.run([LmRequest(uid="a", prompt=prompt, max_new_tokens=6)],
+                  chunk=3)["a"]
+    want = _ref_generate(model, params, prompt, 6, ov)
+    assert got.tolist() == want, (got.tolist(), want)
+
+
+def test_lm_engine_continuous_batching():
+    """More requests than slots, staggered prompt lengths and budgets:
+    every request finishes and matches its independent generation
+    (drop-free capacity makes results batch-composition independent)."""
+    from tutel_tpu.serving import LmDecodeEngine, LmRequest
+    model, cfg = _lm_model()
+    params = model.init(jax.random.PRNGKey(0))
+    ov = {"capacity_factor": 8.0}
+    rng = np.random.RandomState(0)
+    reqs = [
+        LmRequest(uid=i,
+                  prompt=rng.randint(0, cfg.vocab_size,
+                                     size=3 + (i % 3)).astype(np.int32),
+                  max_new_tokens=2 + (i % 4))
+        for i in range(7)]
+
+    eng = LmDecodeEngine(model, params, max_batch=3, moe_overrides=ov)
+    finals = eng.run(list(reqs), chunk=2)
+    assert eng.stats["finished"] == 7
+    for r in reqs:
+        want = _ref_generate(model, params, r.prompt, r.max_new_tokens,
+                             ov)
+        assert finals[r.uid].tolist() == want, (
+            r.uid, finals[r.uid].tolist(), want)

@@ -75,3 +75,51 @@ def test_lm_example_runs():
         l_aux_wt=0.01, dtype="float32", data_file="", checkpoint_path="",
         device="cpu"), log=lambda *a, **k: None)
     assert len(losses) == 8 and losses[-1] < losses[0]
+
+
+def test_decode_matches_full_apply():
+    """Chained KV-cache decode reproduces the full forward's logits at
+    every position (drop-free capacity so routing is batch-size
+    independent)."""
+    model, cfg = _model(capacity_factor=8.0)
+    params = model.init(jax.random.PRNGKey(0))
+    b, t = 2, 12
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (b, t), 0,
+                                cfg.vocab_size)
+    full, _ = model.apply(params, tokens)
+
+    cache = model.init_cache(b)
+    ov = {"capacity_factor": 8.0}
+    step = jax.jit(lambda p, tok, c, pos: model.apply_decode(
+        p, tok, c, pos, moe_overrides=ov))
+    for i in range(t):
+        pos = jnp.full((b,), i, jnp.int32)
+        logits, cache, _ = step(params, tokens[:, i], cache, pos)
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(full[:, i]),
+            rtol=2e-4, atol=2e-4)
+
+
+def test_prefill_matches_decode_chain():
+    """Scan prefill == token-by-token decode: final logits and cache."""
+    model, cfg = _model(capacity_factor=8.0)
+    params = model.init(jax.random.PRNGKey(0))
+    b, t = 2, 8
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (b, t), 0,
+                                cfg.vocab_size)
+    ov = {"capacity_factor": 8.0}
+    logits_p, cache_p = jax.jit(
+        lambda p, tok, c: model.prefill(p, tok, c, moe_overrides=ov))(
+        params, tokens, model.init_cache(b))
+
+    cache = model.init_cache(b)
+    for i in range(t):
+        pos = jnp.full((b,), i, jnp.int32)
+        logits, cache, _ = model.apply_decode(
+            params, tokens[:, i], cache, pos, moe_overrides=ov)
+    np.testing.assert_allclose(np.asarray(logits_p), np.asarray(logits),
+                               rtol=1e-5, atol=1e-5)
+    for cp, cc in zip(cache_p, cache):
+        np.testing.assert_allclose(np.asarray(cp["k"]),
+                                   np.asarray(cc["k"]), rtol=1e-5,
+                                   atol=1e-5)

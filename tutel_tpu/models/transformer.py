@@ -170,6 +170,110 @@ class TransformerMoE:
                             params["embed"].astype(jnp.float32))
         return logits, l_aux_sum
 
+    # ------------------------------------------------------------------
+    # Incremental decode (KV cache) — the serving path
+    # ------------------------------------------------------------------
+
+    def init_cache(self, batch: int):
+        """Per-block KV cache for incremental decode: [B, max_len, nh, hd]."""
+        cfg = self.cfg
+        nh, hd = cfg.num_heads, cfg.model_dim // cfg.num_heads
+        z = lambda: jnp.zeros((batch, cfg.max_len, nh, hd), cfg.dtype)
+        return [{"k": z(), "v": z()} for _ in range(cfg.num_layers)]
+
+    def _attn_step(self, block, x, ck, cv, pos):
+        """One-token attention: x [B, d], cache [B, T, nh, hd], pos [B]."""
+        cfg = self.cfg
+        b, d = x.shape
+        nh, hd = cfg.num_heads, d // cfg.num_heads
+        qkv = jnp.einsum("bd,de->be", x, block["wqkv"],
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, nh, hd)
+        rows = jnp.arange(b)
+        ck = ck.at[rows, pos].set(k.reshape(b, nh, hd))
+        cv = cv.at[rows, pos].set(v.reshape(b, nh, hd))
+        scores = jnp.einsum("bhd,bthd->bht", q, ck,
+                            preferred_element_type=jnp.float32)
+        scores = scores * (hd ** -0.5)
+        mask = jnp.arange(cfg.max_len)[None, :] <= pos[:, None]
+        scores = jnp.where(mask[:, None, :], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bht,bthd->bhd", probs, cv,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = out.reshape(b, d)
+        return jnp.einsum("bd,de->be", out, block["wo"],
+                          preferred_element_type=jnp.float32).astype(
+            x.dtype), ck, cv
+
+    def apply_decode(self, params, tokens, cache, pos, key=None,
+                     moe_overrides: Optional[dict] = None):
+        """One decode step: tokens [B] int32 at positions pos [B].
+
+        Returns (logits [B, V], new_cache, l_aux_sum). Numerically the
+        same computation as `apply` at those positions (pinned by
+        tests/test_transformer.py decode-==-full test)."""
+        cfg = self.cfg
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        x = params["embed"][tokens] + params["pos"][pos]
+        x = x.astype(cfg.dtype)
+        l_aux_sum = jnp.float32(0)
+        overrides = dict(moe_overrides or {})
+        new_cache = []
+        for i, block in enumerate(params["blocks"]):
+            a, ck, cv = self._attn_step(
+                block, self._ln(block["ln1"], x),
+                cache[i]["k"], cache[i]["v"], pos)
+            new_cache.append({"k": ck, "v": cv})
+            x = x + a
+            h = self._ln(block["ln2"], x)
+            if i in self.moe_layers:
+                out, l_aux = self.moe_layers[i](
+                    block["moe"], h, key=jax.random.fold_in(key, i),
+                    **overrides)
+                x = x + out
+                l_aux_sum = l_aux_sum + l_aux.astype(jnp.float32)
+            else:
+                f = block["ffn"]
+                hdn = jnp.einsum("bd,dh->bh", h, f["w1"],
+                                 preferred_element_type=jnp.float32)
+                hdn = jax.nn.gelu(hdn + f["b1"]).astype(cfg.dtype)
+                o = jnp.einsum("bh,hd->bd", hdn, f["w2"],
+                               preferred_element_type=jnp.float32)
+                x = x + (o + f["b2"]).astype(cfg.dtype)
+        x = self._ln(params["final_ln"], x)
+        logits = jnp.einsum("bd,vd->bv", x.astype(jnp.float32),
+                            params["embed"].astype(jnp.float32))
+        return logits, new_cache, l_aux_sum
+
+    def prefill(self, params, prompts, cache, key=None,
+                moe_overrides: Optional[dict] = None):
+        """Write prompts [B, Tp] into the cache via a decode scan.
+
+        Returns (logits_last [B, V], cache) where logits_last predicts
+        the token after each prompt's last position. Token-by-token
+        (a lax.scan of `apply_decode`), so it exercises exactly the
+        serving path; chunked MoE prefill is a future optimization."""
+        b, tp = prompts.shape
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        def step(carry, t):
+            cache, _ = carry
+            logits, cache, _aux = self.apply_decode(
+                params, prompts[:, t], cache,
+                jnp.full((b,), t, jnp.int32),
+                key=jax.random.fold_in(key, t),
+                moe_overrides=moe_overrides)
+            return (cache, logits), None
+
+        (cache, logits), _ = jax.lax.scan(
+            step, (cache, jnp.zeros((b, self.cfg.vocab_size),
+                                    jnp.float32)),
+            jnp.arange(tp))
+        return logits, cache
+
     def loss(self, params, tokens, key=None, training=True,
              l_aux_wt=0.01, moe_overrides=None):
         """Next-token cross-entropy + weighted aux loss

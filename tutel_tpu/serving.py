@@ -39,6 +39,13 @@ class Request:
     remaining: int                # decode steps left
 
 
+@dataclasses.dataclass
+class LmRequest:
+    uid: Any
+    prompt: np.ndarray            # [Tp] int32 token ids
+    max_new_tokens: int
+
+
 class MoeDecodeEngine:
     """Continuous batching over a MOELayer-based decode step."""
 
@@ -241,3 +248,183 @@ class MoeDecodeEngine:
                 finals[uid] = out
             steps_done += k
         return finals
+
+
+class LmDecodeEngine:
+    """Continuous-batching token generation over a TransformerMoE.
+
+    The full-model serving path (the single-layer `MoeDecodeEngine`
+    drives a MOELayer over embedding vectors; this drives the whole LM):
+    a [max_batch]-slot KV cache, prompt prefill on admission, greedy
+    decode in chunks of `chunk` steps per device dispatch.
+
+    Same O(1)-dispatches-per-chunk discipline as MoeDecodeEngine:
+    admissions flush as one batched prefill + cache scatter per distinct
+    prompt length, the chunked decode scan is one dispatch (compiled
+    per (chunk,) and shared across engine instances via the model), and
+    generated tokens come back as one [chunk, B] fetch.
+    """
+
+    def __init__(self, model, params, max_batch: int,
+                 moe_overrides: Optional[dict] = None):
+        self.model = model
+        self.params = params
+        self.max_batch = int(max_batch)
+        self.moe_overrides = dict(moe_overrides or {})
+        self.cache = model.init_cache(self.max_batch)
+        self._tok = jnp.zeros((self.max_batch,), jnp.int32)
+        self._pos = jnp.zeros((self.max_batch,), jnp.int32)
+        self._slots: List[Optional[LmRequest]] = [None] * self.max_batch
+        self._free = list(range(self.max_batch))[::-1]
+        self._remaining = [0] * self.max_batch
+        self._staged: List[Any] = []   # (slot, LmRequest)
+        self._generated: Dict[Any, List[int]] = {}
+        self.stats = {"steps": 0, "tokens": 0, "joined": 0, "finished": 0}
+
+    @property
+    def active(self) -> int:
+        return self.max_batch - len(self._free)
+
+    def try_add(self, request: LmRequest) -> bool:
+        if not self._free:
+            return False
+        tp = len(request.prompt)
+        budget = self.model.cfg.max_len - tp - 1
+        if budget <= 0:
+            raise ValueError(
+                f"prompt length {tp} leaves no room under "
+                f"max_len={self.model.cfg.max_len}")
+        slot = self._free.pop()
+        self._slots[slot] = request
+        self._remaining[slot] = min(request.max_new_tokens, budget)
+        self._staged.append((slot, request))
+        self._generated[request.uid] = []
+        self.stats["joined"] += 1
+        return True
+
+    # -- prefill (admission flush) --------------------------------------
+
+    def _prefill_fn(self, tp: int, n: int):
+        cache = getattr(self.model, "_serving_prefill_cache", None)
+        if cache is None:
+            cache = self.model._serving_prefill_cache = {}
+        fn = cache.get((tp, n))
+        if fn is None:
+            model, ov = self.model, self.moe_overrides
+
+            def fn(params, prompts, group_cache):
+                logits, group_cache = model.prefill(
+                    params, prompts, group_cache, moe_overrides=ov)
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32), \
+                    group_cache
+
+            fn = jax.jit(fn)
+            cache[(tp, n)] = fn
+        return fn
+
+    def _flush_admissions(self):
+        if not self._staged:
+            return
+        # group by exact prompt length: each group is one prefill scan +
+        # one cache-row scatter per layer
+        by_len: Dict[int, List[Any]] = {}
+        for slot, req in self._staged:
+            by_len.setdefault(len(req.prompt), []).append((slot, req))
+        self._staged = []
+        for tp, group in by_len.items():
+            slots = jnp.asarray([s for s, _ in group], jnp.int32)
+            prompts = jnp.asarray(
+                np.stack([np.asarray(r.prompt, np.int32)
+                          for _, r in group]))
+            n = len(group)
+            first_tok, gc = self._prefill_fn(tp, n)(
+                self.params, prompts, self.model.init_cache(n))
+            for i, layer_cache in enumerate(gc):
+                self.cache[i] = {
+                    "k": self.cache[i]["k"].at[slots].set(layer_cache["k"]),
+                    "v": self.cache[i]["v"].at[slots].set(layer_cache["v"]),
+                }
+            self._tok = self._tok.at[slots].set(first_tok)
+            self._pos = self._pos.at[slots].set(jnp.int32(tp))
+            # the prefill's argmax is the first generated token
+            for j, (slot, req) in enumerate(group):
+                self._generated[req.uid].append(int(first_tok[j]))
+                self._remaining[slot] -= 1
+
+    # -- chunked decode -------------------------------------------------
+
+    def _decode_fn(self, n_steps: int):
+        cache = getattr(self.model, "_serving_decode_cache", None)
+        if cache is None:
+            cache = self.model._serving_decode_cache = {}
+        fn = cache.get(n_steps)
+        if fn is None:
+            model, ov = self.model, self.moe_overrides
+
+            def fn(params, kv, tok, pos):
+                def body(carry, _):
+                    kv, tok, pos = carry
+                    logits, kv, _aux = model.apply_decode(
+                        params, tok, kv, pos, moe_overrides=ov)
+                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    return (kv, nxt, pos + 1), nxt
+
+                (kv, tok, pos), toks = jax.lax.scan(
+                    body, (kv, tok, pos), None, length=n_steps)
+                return kv, tok, pos, toks
+
+            fn = jax.jit(fn)
+            cache[n_steps] = fn
+        return fn
+
+    def step_chunk(self, n_steps: int) -> Dict[Any, List[int]]:
+        """Decode `n_steps` greedy tokens for every active slot in ONE
+        device dispatch. Returns {uid: new tokens this chunk}."""
+        self._flush_admissions()
+        # a request whose budget was consumed by the prefill's first
+        # token retires without decoding
+        for slot, req in enumerate(self._slots):
+            if req is not None and self._remaining[slot] <= 0:
+                self._slots[slot] = None
+                self._free.append(slot)
+                self.stats["finished"] += 1
+        if self.active == 0:
+            return {}
+        n_steps = max(1, min(
+            n_steps, *[self._remaining[s] for s, r in
+                       enumerate(self._slots) if r is not None]))
+        self.cache, self._tok, self._pos, toks = self._decode_fn(n_steps)(
+            self.params, self.cache, self._tok, self._pos)
+        toks_np = np.asarray(jax.device_get(toks))     # [n_steps, B]
+
+        results: Dict[Any, List[int]] = {}
+        for slot, req in enumerate(self._slots):
+            if req is None:
+                continue
+            new = toks_np[:, slot].tolist()
+            self._generated[req.uid].extend(new)
+            results[req.uid] = new
+            self._remaining[slot] -= n_steps
+            self.stats["tokens"] += n_steps
+            if self._remaining[slot] <= 0:
+                self._slots[slot] = None
+                self._free.append(slot)
+                self.stats["finished"] += 1
+        self.stats["steps"] += n_steps
+        return results
+
+    def run(self, requests: List[LmRequest], chunk: int = 8,
+            max_steps: int = 100_000) -> Dict[Any, np.ndarray]:
+        """Drive until every request finishes; returns each uid's full
+        generated token sequence (prompt not included)."""
+        pending = list(requests)[::-1]
+        steps = 0
+        while steps < max_steps:
+            while pending and self.try_add(pending[-1]):
+                pending.pop()
+            if self.active == 0 and not pending:
+                break
+            self.step_chunk(chunk)
+            steps += chunk
+        return {uid: np.asarray(toks, np.int32)
+                for uid, toks in self._generated.items()}
