@@ -32,7 +32,7 @@ from .quant import QuantizedWeight
 
 
 def _gmm_kernel(counts_ref, x_ref, w_ref, s_ref, o_ref, *, bits, bm, bn,
-                out_dtype):
+                out_dtype, twodot):
     e = pl.program_id(0)
     i = pl.program_id(1)
     count = counts_ref[e]
@@ -41,19 +41,35 @@ def _gmm_kernel(counts_ref, x_ref, w_ref, s_ref, o_ref, *, bits, bm, bn,
     def _compute():
         wq = w_ref[0]                                   # [Kp, bn] int8
         if bits == 4:
-            # int32-domain nibble unpack. Measured fastest of the legal
-            # options on v5e (Mosaic rejects i8/i16 shifts and bitwise
-            # ops; f32 floor-math is ~50% slower): widen, two shifts,
-            # concat halves (split-half layout, ops/quant.py), one
-            # narrowing convert. The VPU work pipelines behind the
-            # weight-stream DMA at bn=2048.
+            # int32-domain nibble unpack (Mosaic rejects i8/i16 shifts
+            # and bitwise ops; f32 floor-math is ~50% slower). Two
+            # realizations of the dot, selected per-shape by the caller:
+            #   twodot: x @ W == x[:, :K/2] @ low + x[:, K/2:] @ high
+            #     (split-half layout, ops/quant.py) — avoids the [K, bn]
+            #     concat relayout;
+            #   concat: one [K, bn] dot after concatenating the halves.
+            # Measured on v5e: twodot wins at row tiles >= 32 (up to 7x
+            # at aligned decode shapes); concat wins slightly at the
+            # sub-sublane row tiles (bm < 32) the tight dropless decode
+            # capacity produces.
             v = wq.astype(jnp.int32)
             low = (v << 28) >> 28                       # sign-extend
             high = v >> 4
-            q = jnp.concatenate([low, high], axis=0).astype(jnp.bfloat16)
+            if twodot:
+                kp = v.shape[0]
+                x = x_ref[0]
+                acc = jnp.dot(x[:, :kp], low.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+                acc = acc + jnp.dot(x[:, kp:], high.astype(jnp.bfloat16),
+                                    preferred_element_type=jnp.float32)
+            else:
+                q = jnp.concatenate([low, high],
+                                    axis=0).astype(jnp.bfloat16)
+                acc = jnp.dot(x_ref[0], q,
+                              preferred_element_type=jnp.float32)
         else:
             q = wq.astype(jnp.bfloat16)
-        acc = jnp.dot(x_ref[0], q, preferred_element_type=jnp.float32)
+            acc = jnp.dot(x_ref[0], q, preferred_element_type=jnp.float32)
         acc = acc * s_ref[0, 0, :][None, :]
         o_ref[0] = acc.astype(out_dtype)
 
@@ -110,8 +126,18 @@ def grouped_gemm_quant(x, qw: QuantizedWeight, counts=None, *, bm=256,
         scales = jnp.pad(scales, ((0, 0), (0, 0), (0, pad_n)))
     kp = vals.shape[1]                                   # K or K//2 (int4)
 
+    import os
+    # A/B on v5e at the production configs (128-expert dropless decode):
+    # concat 1.061 ms vs twodot 1.162 ms at bm=27, and a wash (2.91 vs
+    # 2.90 ms) at bm=160 where the step is MXU-bound — so concat is the
+    # default. (An isolated microbench at bm=32 showed twodot 7x ahead;
+    # that did not transfer to the real pipeline. Kept selectable for
+    # autotuning on other parts.)
+    td_env = os.environ.get("TUTEL_TPU_GMM_TWODOT", "")
+    twodot = bool(int(td_env)) if td_env else False
     kernel = functools.partial(
-        _gmm_kernel, bits=qw.bits, bm=bm, bn=bn, out_dtype=x.dtype)
+        _gmm_kernel, bits=qw.bits, bm=bm, bn=bn, out_dtype=x.dtype,
+        twodot=twodot)
     flops = 2 * e * cp * k * np_
     out = pl.pallas_call(
         kernel,
