@@ -45,6 +45,13 @@ def run(args):
             p = dict(p)
             p["experts"] = quant.quantize_expert_params(
                 p["experts"], bits=args.bits)
+            if args.fused:
+                # single-kernel phase-packed weight stream
+                # (ops/fused_ffn_pallas) — measured faster than the
+                # two-call grouped GEMM at this config
+                from tutel_tpu.ops.fused_ffn_pallas import \
+                    prepare_fused_ffn_params
+                p["experts"] = prepare_fused_ffn_params(p["experts"])
         return p
 
     params = make_params()
@@ -104,6 +111,8 @@ def main():
     parser.add_argument("--top", type=int, default=2)
     parser.add_argument("--bits", type=int, default=4)
     parser.add_argument("--megablocks_size", type=int, default=0)
+    parser.add_argument("--fused", type=int, default=1,
+                        help="use the fused single-kernel FFN stream")
     # 400 iterations keep the fixed per-dispatch link round-trip (~80 ms
     # through the remote-attach tunnel) under 3% of the measurement; 50
     # iters understated throughput ~2.4x at these sub-ms step times.

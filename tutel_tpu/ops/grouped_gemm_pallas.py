@@ -180,6 +180,16 @@ def quantized_ffn(x, params, ctx, activation_fn, output_dim,
     fc1_w, fc2_w = params["fc1_w"], params["fc2_w"]
     fc1_b, fc2_b = params.get("fc1_b"), params.get("fc2_b")
 
+    stream = params.get("fused_stream")
+    if stream is not None and stream.n >= output_dim:
+        # single-kernel phase-packed stream (ops/fused_ffn_pallas):
+        # biases are folded into the stream at prepare time
+        from .fused_ffn_pallas import fused_ffn_quant
+        out = fused_ffn_quant(x, stream, counts,
+                              activation_fn=activation_fn,
+                              interpret=interpret)
+        return out[..., :output_dim]
+
     import os
     bn = int(os.environ.get("TUTEL_TPU_GMM_BN", "0")) or None
     y = grouped_gemm_quant(x, fc1_w, counts, bn=bn, interpret=interpret)
