@@ -68,6 +68,10 @@ def main():
                     block["moe"] = dict(block["moe"])
                     block["moe"]["experts"] = quant.quantize_expert_params(
                         block["moe"]["experts"], bits=args.bits)
+                    from tutel_tpu.ops.fused_ffn_pallas import \
+                        prepare_fused_ffn_params
+                    block["moe"]["experts"] = prepare_fused_ffn_params(
+                        block["moe"]["experts"])
         return p
     params = make_params()
     jax.block_until_ready(jax.tree.leaves(params))

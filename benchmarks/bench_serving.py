@@ -59,6 +59,9 @@ def main():
             p = dict(p)
             p["experts"] = quant.quantize_expert_params(
                 p["experts"], bits=args.bits)
+            from tutel_tpu.ops.fused_ffn_pallas import \
+                prepare_fused_ffn_params
+            p["experts"] = prepare_fused_ffn_params(p["experts"])
         return p
     params = make_params()
 

@@ -139,6 +139,25 @@ def prepare_fused_ffn(fc1: QuantizedWeight, fc2: QuantizedWeight,
                           n=n, t1=t1, t2=t2, bw=bw, kr=kr)
 
 
+def vmem_bytes(stream: FusedFFNStream, c, dtype, chunk=512):
+    """Estimate of the kernel's VMEM working set for row count c: the
+    double-buffered stream + x/out blocks, hidden scratch, and the
+    unpack temporaries. Callers fall back to the two-call grouped GEMM
+    when this approaches the ~16 MB VMEM limit."""
+    isize = jnp.dtype(dtype).itemsize
+    pack = 2 if stream.bits == 4 else 1
+    sub = 16 if dtype == jnp.bfloat16 else 8
+    cp = -(-c // sub) * sub
+    xw = pack * stream.kr
+    t = stream.t1 + stream.t2
+    return (2 * t * stream.kr * stream.bw            # weight stream x2
+            + 2 * t * 2 * stream.bw * 4              # sb x2
+            + 2 * cp * xw * isize                    # x block x2
+            + 2 * cp * stream.t2 * stream.bw * isize  # out block x2
+            + cp * xw * isize                        # hidden scratch
+            + chunk * stream.kr * (4 + 2 * pack))    # unpack temps
+
+
 def _fused_kernel(counts_ref, x_ref, w_ref, sb_ref, o_ref, h_sc, *,
                   bits, t1, t2, bw, chunk, act, out_dtype):
     e = pl.program_id(0)

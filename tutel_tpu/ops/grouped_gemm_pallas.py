@@ -182,13 +182,15 @@ def quantized_ffn(x, params, ctx, activation_fn, output_dim,
 
     stream = params.get("fused_stream")
     if stream is not None and stream.n >= output_dim:
+        from .fused_ffn_pallas import fused_ffn_quant, vmem_bytes
         # single-kernel phase-packed stream (ops/fused_ffn_pallas):
-        # biases are folded into the stream at prepare time
-        from .fused_ffn_pallas import fused_ffn_quant
-        out = fused_ffn_quant(x, stream, counts,
-                              activation_fn=activation_fn,
-                              interpret=interpret)
-        return out[..., :output_dim]
+        # biases are folded into the stream at prepare time. Large row
+        # counts overflow VMEM — fall back to the two-call path then.
+        if vmem_bytes(stream, c, x.dtype) <= 14 * 1024 * 1024:
+            out = fused_ffn_quant(x, stream, counts,
+                                  activation_fn=activation_fn,
+                                  interpret=interpret)
+            return out[..., :output_dim]
 
     import os
     bn = int(os.environ.get("TUTEL_TPU_GMM_BN", "0")) or None
