@@ -11,7 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from tutel_tpu.parallel.pipeline import pipeline, stack_stage_params
+from tutel_tpu.parallel.pipeline import (pipeline, pipeline_1f1b,
+                                         stack_stage_params)
 
 
 def _mesh(n, axis="pp"):
@@ -133,6 +134,158 @@ def test_pipeline_moe_stage_with_aux():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(float(got_aux), float(want_aux),
                                rtol=1e-5)
+
+
+def _loss(y):
+    return jnp.sum(y ** 2)
+
+
+def test_1f1b_matches_sequential_grads():
+    n_stages, dim, hidden, n_micro = 4, 8, 16, 6
+    per_stage = _mlp_params(jax.random.PRNGKey(2), n_stages, dim, hidden)
+    stacked = stack_stage_params(per_stage)
+    x = jax.random.normal(jax.random.PRNGKey(3), (24, dim))
+
+    fn = pipeline_1f1b(_mlp_stage, _loss, n_stages, _mesh(n_stages),
+                       n_micro=n_micro)
+    loss1, g1 = jax.jit(fn)(stacked, x)
+
+    def loss_seq(sp):
+        per = [jax.tree.map(lambda l: l[i], sp) for i in range(n_stages)]
+        xm = x.reshape(n_micro, -1, dim)
+
+        def chain(xi):
+            for p in per:
+                xi = _mlp_stage(p, xi)
+            return xi
+        return jnp.mean(jax.vmap(lambda xi: _loss(chain(xi)))(xm))
+
+    loss2, g2 = jax.value_and_grad(loss_seq)(stacked)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5), g1, g2)
+
+
+def test_1f1b_n_micro_not_multiple_of_stages():
+    n_stages, dim, hidden, n_micro = 2, 8, 16, 5
+    per_stage = _mlp_params(jax.random.PRNGKey(8), n_stages, dim, hidden)
+    stacked = stack_stage_params(per_stage)
+    x = jax.random.normal(jax.random.PRNGKey(9), (20, dim))
+    fn = pipeline_1f1b(_mlp_stage, _loss, n_stages, _mesh(n_stages),
+                       n_micro=n_micro)
+    loss1, _ = jax.jit(fn)(stacked, x)
+
+    def loss_seq(sp):
+        per = [jax.tree.map(lambda l: l[i], sp) for i in range(n_stages)]
+        xm = x.reshape(n_micro, -1, dim)
+
+        def chain(xi):
+            for p in per:
+                xi = _mlp_stage(p, xi)
+            return xi
+        return jnp.mean(jax.vmap(lambda xi: _loss(chain(xi)))(xm))
+
+    np.testing.assert_allclose(float(loss1), float(loss_seq(stacked)),
+                               rtol=1e-6)
+
+
+def test_1f1b_moe_stage_with_aux():
+    """MoE stages: l_aux flows into the 1F1B loss and its gradients."""
+    from tutel_tpu import moe
+
+    n_stages, dim, n_micro = 2, 16, 3
+    layer = moe.moe_layer(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 1.0,
+                   "gate_noise": 0.0},
+        experts={"type": "ffn", "num_experts_per_device": 4,
+                 "hidden_size_per_expert": 32},
+        model_dim=dim, seeds=(1, 1, 1), group=jax.devices()[:1])
+    per_stage = [layer.init(jax.random.PRNGKey(10 + i))
+                 for i in range(n_stages)]
+    key = jax.random.PRNGKey(42)
+
+    def stage(p, xx):
+        out, l_aux = layer(p, xx, key=key)
+        return xx + out, l_aux
+
+    x = jax.random.normal(jax.random.PRNGKey(6), (12, dim))
+    fn = pipeline_1f1b(stage, _loss, n_stages, _mesh(n_stages),
+                       n_micro=n_micro, has_aux=True)
+    loss1, g1 = jax.jit(fn)(stack_stage_params(per_stage), x)
+
+    def loss_seq(sp):
+        per = [jax.tree.map(lambda l: l[i], sp) for i in range(n_stages)]
+        xm = x.reshape(n_micro, -1, dim)
+        total = 0.0
+        for i in range(n_micro):
+            xi = xm[i]
+            for p in per:
+                xi, a = stage(p, xi)
+                total = total + a
+            total = total + _loss(xi)
+        return total / n_micro
+
+    loss2, g2 = jax.value_and_grad(loss_seq)(
+        stack_stage_params(per_stage))
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-5, atol=3e-5), g1, g2)
+
+
+def test_1f1b_bounded_activation_memory():
+    """The 1F1B property: activation stash is bounded by the stage
+    count, not n_micro. AOT-compile both schedules for a real v5e:2x4
+    topology at n_micro=32 and inspect the compiled buffers:
+    GPipe-through-jax.grad carries a per-tick residual stack with
+    leading dim = n_micro + S - 1 (its largest buffer), while the
+    explicit 1F1B schedule's largest buffer is just the replicated
+    input batch — its stash is 2S-1 slots."""
+    import re
+    try:
+        from jax.experimental import topologies
+        topo = topologies.get_topology_desc("v5e:2x4", "tpu")
+        devs = topo.devices
+    except Exception as e:
+        pytest.skip(f"TPU AOT topology unavailable: {e}")
+    n_stages, dim, hidden, n_micro = 8, 512, 1024, 32
+    ticks_gp = n_micro + n_stages - 1
+    mesh = jax.sharding.Mesh(np.array(devs), ("pp",))
+    per_stage = _mlp_params(jax.random.PRNGKey(0), n_stages, dim, hidden)
+    stacked = stack_stage_params(per_stage)
+    x = jax.random.normal(jax.random.PRNGKey(1), (n_micro * 64, dim))
+
+    def max_f32_buffer(txt):
+        best, shape = 0, None
+        for m in re.finditer(r"f32\[([0-9,]+)\]", txt):
+            dims = [int(d) for d in m.group(1).split(",")]
+            n = int(np.prod(dims))
+            if n > best:
+                best, shape = n, dims
+        return best, shape
+
+    f_1f1b = pipeline_1f1b(_mlp_stage, _loss, n_stages, mesh,
+                           n_micro=n_micro)
+    t1 = jax.jit(f_1f1b).lower(stacked, x).compile().as_text()
+
+    f_gp = pipeline(_mlp_stage, n_stages, mesh, n_micro=n_micro)
+
+    def gp_loss(p, x):
+        y = f_gp(p, x)
+        ym = y.reshape(n_micro, -1, dim)
+        return jnp.mean(jax.vmap(_loss)(ym))
+
+    t0 = jax.jit(jax.value_and_grad(gp_loss)).lower(stacked, x)\
+        .compile().as_text()
+
+    b1, s1 = max_f32_buffer(t1)
+    b0, s0 = max_f32_buffer(t0)
+    # GPipe's biggest buffer is the tick-indexed residual stack
+    assert s0[0] == ticks_gp, (s0, ticks_gp)
+    # 1F1B's biggest buffer must be well under it (measured: 4.2 MB
+    # replicated input vs 10.2 MB residual stack at this config)
+    assert b1 < 0.5 * b0, (s1, s0)
 
 
 def test_pipeline_validates_shapes():

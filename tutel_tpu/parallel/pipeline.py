@@ -39,6 +39,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
+__all__ = ["pipeline", "pipeline_1f1b", "stack_stage_params"]
+
 
 def stack_stage_params(per_stage_params):
     """Stack a list of per-stage parameter pytrees along a new leading
@@ -108,6 +110,150 @@ def _gpipe_local(stage_fn, axis, num_stages, n_micro, remat, has_aux,
         axis)
     aux = lax.psum(aux, axis) / n_micro
     return outs, aux
+
+
+def _1f1b_local(stage_fn, loss_fn, axis, num_stages, n_micro, has_aux,
+                params_local, x_micro):
+    """Per-device 1F1B training schedule; call inside shard_map.
+
+    Interleaved forward/backward in lockstep SPMD: every tick each
+    stage runs one (masked) forward slot and one (masked) backward
+    slot, with both ppermutes issued unconditionally so collectives
+    stay uniform across devices. Timing (double-slot ticks):
+
+        fwd of micro m at stage s:   t = m + s
+        bwd of micro m at stage s:   t = m + 2(S-1) - s
+
+    so at most 2(S-1-s)+1 microbatch activations are in flight at
+    stage s — bounded by the stage count, NOT by n_micro (the 1F1B
+    memory property; GPipe-through-jax.grad stashes all n_micro).
+    Backward recomputes the stage forward from the stashed *input*
+    (activation recomputation, as in 1F1B-with-remat), so the stash
+    holds one input per in-flight microbatch and nothing else.
+
+    Returns (loss_sum, aux_sum, grads_local) — sums over this stage's
+    microbatches; the caller psums/normalizes.
+    """
+    sid = lax.axis_index(axis)
+    params_local = jax.tree.map(
+        lambda p: jnp.squeeze(p, axis=0), params_local)
+
+    def apply2(p, x):
+        if has_aux:
+            return stage_fn(p, x)
+        return stage_fn(p, x), jnp.zeros((), jnp.float32)
+
+    ticks = n_micro + 2 * (num_stages - 1)
+    depth = 2 * (num_stages - 1) + 1          # stash slots; see timing
+    mb_shape = x_micro.shape[1:]
+    zeros_state = jnp.zeros(mb_shape, x_micro.dtype)
+    stash0 = jnp.zeros((depth,) + mb_shape, x_micro.dtype)
+    gacc0 = jax.tree.map(jnp.zeros_like, params_local)
+
+    def tick(carry, t):
+        fwd_state, bwd_state, stash, gacc, loss_acc, aux_acc = carry
+
+        # ---- forward slot: micro m_f enters at stage 0, flows along
+        m_f = t - sid
+        valid_f = (m_f >= 0) & (m_f < n_micro)
+        inj = lax.dynamic_index_in_dim(
+            x_micro, jnp.clip(m_f, 0, n_micro - 1), 0, keepdims=False)
+        x_in = jnp.where(sid == 0, inj, fwd_state)
+        y, _ = apply2(params_local, x_in)
+        slot_f = jnp.clip(m_f, 0, n_micro - 1) % depth
+        stash = jnp.where(
+            valid_f,
+            lax.dynamic_update_index_in_dim(stash, x_in, slot_f, 0),
+            stash)
+
+        # ---- backward slot: recompute fwd from the stashed input,
+        # seed the cotangent (loss grad at the last stage, the
+        # ppermuted downstream grad elsewhere), accumulate param grads
+        m_b = t - 2 * (num_stages - 1) + sid
+        valid_b = (m_b >= 0) & (m_b < n_micro)
+        slot_b = jnp.clip(m_b, 0, n_micro - 1) % depth
+        x_b = lax.dynamic_index_in_dim(stash, slot_b, 0, keepdims=False)
+        (y_b, aux_b), vjp_fn = jax.vjp(apply2, params_local, x_b)
+        # the training loss is a mean over microbatches — seed 1/n_micro
+        g_loss = jax.grad(lambda yy: loss_fn(yy))(y_b) / n_micro
+        g_y = jnp.where(sid == num_stages - 1, g_loss, bwd_state)
+        g_y = jnp.where(valid_b, g_y, jnp.zeros_like(g_y))
+        aux_ct = jnp.where(valid_b, jnp.float32(1.0 / n_micro), 0.0)
+        dp, dx = vjp_fn((g_y, aux_ct))
+        gacc = jax.tree.map(lambda a, d: a + d, gacc, dp)
+
+        last = sid == num_stages - 1
+        loss_acc = loss_acc + jnp.where(
+            valid_b & last, loss_fn(y_b).astype(jnp.float32), 0.0)
+        aux_acc = aux_acc + jnp.where(
+            valid_b, aux_b.astype(jnp.float32), 0.0)
+
+        # ---- uniform collectives: activations forward, grads backward
+        fwd_perm = [(i, (i + 1) % num_stages) for i in range(num_stages)]
+        bwd_perm = [(i, (i - 1) % num_stages) for i in range(num_stages)]
+        fwd_state = lax.ppermute(
+            jnp.where(valid_f, y, jnp.zeros_like(y)), axis, fwd_perm)
+        bwd_state = lax.ppermute(dx, axis, bwd_perm)
+
+        return (fwd_state, bwd_state, stash, gacc, loss_acc,
+                aux_acc), None
+
+    carry0 = (zeros_state, zeros_state, stash0, gacc0,
+              jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+    (_, _, _, gacc, loss_acc, aux_acc), _ = lax.scan(
+        tick, carry0, jnp.arange(ticks))
+
+    loss = lax.psum(loss_acc, axis) / n_micro
+    aux = lax.psum(aux_acc, axis) / n_micro
+    grads = jax.tree.map(lambda g: g[None], gacc)
+    return loss, aux, grads
+
+
+def pipeline_1f1b(stage_fn, loss_fn, num_stages, mesh, axis="pp",
+                  n_micro=None, has_aux=False):
+    """1F1B (one-forward-one-backward) pipelined *training step*.
+
+    The reference has no pipeline parallelism at all (SURVEY.md §2.3);
+    `pipeline` above gives the GPipe schedule via jax.grad, whose
+    activation stash grows with n_micro. This explicit schedule
+    interleaves each microbatch's backward with later microbatches'
+    forwards, so at most 2(num_stages-1)+1 activations are live per
+    stage regardless of n_micro, and parameter gradients accumulate
+    per-stage on the device that owns them.
+
+    stage_fn(stage_params, x) -> y (or (y, aux_scalar) with
+    has_aux=True); must be shape-preserving. loss_fn(y) -> scalar is
+    applied to each final-stage microbatch output.
+
+    Returns fn(stacked_params, x) -> (loss, grads):
+      loss = mean_micro loss_fn(y_m) + mean_micro sum_stage aux  (the
+      same total `pipeline(...)` + jax.grad differentiates);
+      grads: pytree like stacked_params (stage-sharded over `axis`).
+    """
+    if mesh.shape[axis] != num_stages:
+        raise ValueError(
+            f"mesh axis {axis!r} has size {mesh.shape[axis]}, "
+            f"need num_stages={num_stages}")
+    nm = n_micro or num_stages
+
+    local = functools.partial(
+        _1f1b_local, stage_fn, loss_fn, axis, num_stages, nm, has_aux)
+
+    def fn(stacked_params, x):
+        b = x.shape[0]
+        if b % nm:
+            raise ValueError(f"batch {b} not divisible by n_micro={nm}")
+        xm = x.reshape((nm, b // nm) + x.shape[1:])
+        pspecs = jax.tree.map(lambda _: P(axis), stacked_params)
+        shmapped = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(pspecs, P()),
+            out_specs=(P(), P(), pspecs),
+            check_vma=False)
+        loss, aux, grads = shmapped(stacked_params, xm)
+        return loss + aux, grads
+
+    return fn
 
 
 def pipeline(stage_fn, num_stages, mesh, axis="pp", n_micro=None,
