@@ -288,6 +288,92 @@ def test_1f1b_bounded_activation_memory():
     assert b1 < 0.5 * b0, (s1, s0)
 
 
+def _pp_ep_setup():
+    """2 pipeline stages x 4-device EP rows on one ('pp','e','r','g')
+    mesh: each stage's experts are sharded over its row via
+    MOELayer.local_forward (true PP x EP composition — the reference
+    has neither)."""
+    from jax.sharding import PartitionSpec as P
+    from tutel_tpu import moe
+
+    devs = np.array(jax.devices()).reshape(2, 4, 1, 1)
+    mesh = jax.sharding.Mesh(devs, ("pp", "e", "r", "g"))
+    layer = moe.moe_layer(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 1.0,
+                   "gate_noise": 0.0},
+        experts={"type": "ffn", "num_experts_per_device": 2,
+                 "hidden_size_per_expert": 32},
+        model_dim=16, seeds=(1, 1, 1), group=jax.devices()[:4])
+    per_stage = [layer.init(jax.random.PRNGKey(10 + i)) for i in range(2)]
+    key = jax.random.PRNGKey(42)
+    local = layer.local_forward(capacity_factor=1.0)
+
+    def stage(p, xx):
+        out, l_aux = local(p, xx, key)
+        return xx + out, l_aux
+
+    specs = {"gates": jax.tree.map(lambda _: None,
+                                   per_stage[0]["gates"]),
+             "experts": jax.tree.map(lambda _: P("e"),
+                                     per_stage[0]["experts"])}
+    x = jax.random.normal(jax.random.PRNGKey(6), (48, 16))
+    return mesh, layer, per_stage, key, stage, specs, x, P
+
+
+def test_pp_ep_forward_matches_layer():
+    mesh, layer, per_stage, key, stage, specs, x, P = _pp_ep_setup()
+    n_micro = 3
+    fn = pipeline(stage, 2, mesh, n_micro=n_micro, has_aux=True,
+                  data_spec=P("e"), stage_param_specs=specs)
+    got, got_aux = jax.jit(fn)(stack_stage_params(per_stage), x)
+    got = np.asarray(jax.device_get(got))
+
+    mb = x.shape[0] // n_micro
+    outs, auxes = [], []
+    for i in range(n_micro):
+        xi = x[i * mb:(i + 1) * mb]
+        for p in per_stage:
+            o, a = layer(p, xi, key=key)   # the layer's own 4-dev EP
+            xi = xi + o
+            auxes.append(float(a))
+        outs.append(np.asarray(jax.device_get(xi)))
+    np.testing.assert_allclose(got, np.concatenate(outs), rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_allclose(float(got_aux),
+                               sum(auxes) / n_micro, rtol=1e-5)
+
+
+def test_pp_ep_1f1b_grads_match_sequential():
+    mesh, layer, per_stage, key, stage, specs, x, P = _pp_ep_setup()
+    n_micro = 3
+    stacked = stack_stage_params(per_stage)
+
+    fn = pipeline_1f1b(stage, _loss, 2, mesh, n_micro=n_micro,
+                       has_aux=True, data_spec=P("e"),
+                       stage_param_specs=specs)
+    loss1, g1 = jax.jit(fn)(stacked, x)
+
+    def seq_loss(sp):
+        per = [jax.tree.map(lambda l: l[i], sp) for i in range(2)]
+        mb = x.shape[0] // n_micro
+        total = 0.0
+        for i in range(n_micro):
+            xi = x[i * mb:(i + 1) * mb]
+            for p in per:
+                o, a = layer(p, xi, key=key)
+                xi = xi + o
+                total = total + a
+            total = total + _loss(xi)
+        return total / n_micro
+
+    loss2, g2 = jax.value_and_grad(seq_loss)(stacked)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b)),
+            rtol=3e-5, atol=3e-5), g1, g2)
+
+
 def test_pipeline_validates_shapes():
     n_stages, dim, hidden = 2, 8, 8
     per_stage = _mlp_params(jax.random.PRNGKey(7), n_stages, dim, hidden)

@@ -621,6 +621,58 @@ class MOELayer:
             megablocks_size)
         return routing_ops.align_capacity(max(1, needed), alignment)
 
+    def local_forward(self, gate_index=0, capacity_factor=None,
+                      top_k=None, adaptive_r=None, training=False,
+                      capacity_override=None):
+        """Per-device forward for composing under an OUTER shard_map.
+
+        Use this to nest the MoE layer inside a larger SPMD program —
+        e.g. PP x EP on a combined ('pp', 'e', 'r', 'g') mesh, where a
+        pipeline schedule owns the 'pp' axis and this layer's expert
+        collectives ride the ('e', 'r', 'g') axes of the SAME mesh
+        (nothing like this exists in the reference, which has no
+        pipeline parallelism — SURVEY.md §2.3).
+
+        Returns fn(params, x_local, key) -> (out_local, l_aux) where
+        x_local is THIS device's token shard [local_samples, M]. The
+        capacity must be statically resolvable: pass capacity_factor>0
+        or capacity_override (from `resolve_capacity`); the dropless
+        host-probe path needs the top-level `__call__`.
+        """
+        gate = self.gates[gate_index]
+        tk = min(int(top_k or gate.top_k), self.num_global_experts)
+        cf = capacity_factor if capacity_factor is not None \
+            else gate.capacity_factor
+        r = adaptive_r if adaptive_r is not None else self.adaptive_degree
+        assert r in self.valid_rs, (r, self.valid_rs)
+        overlap = self.a2a_ffn_overlap_degree
+
+        def fn(params, x_local, key):
+            local_samples = x_local.shape[0]
+            if capacity_override is not None:
+                capacity = routing_ops.align_capacity(
+                    int(capacity_override), self._alignment(overlap, 0))
+            else:
+                assert cf > 0, (
+                    "local_forward needs a static capacity: pass "
+                    "capacity_factor > 0 or capacity_override")
+                capacity = self._static_capacity(
+                    local_samples, tk, cf, overlap, 0)
+            capacity = min(capacity, routing_ops.align_capacity(
+                tk * local_samples, self._alignment(overlap, 0)))
+            cfg = _VariantCfg(
+                gate_index=gate_index, top_k=tk, capacity=capacity,
+                adaptive_r=r, overlap_degree=overlap,
+                megablocks_size=0, training=training,
+                use_2dh=self._flat_2dh(),
+                batch_prioritized=self.batch_prioritized_routing,
+                a2a_dtype=self.a2a_dtype, has_valid=False,
+                ragged_max_recv=0, dense_dispatch=False)
+            body = self._build_body(cfg)
+            return body(params["gates"][gate_index], params["experts"],
+                        x_local.astype(self.dtype), key)
+        return fn
+
     def _compiler_options(self, cfg: _VariantCfg):
         """XLA options per variant. The chunked a2a/FFN pipeline
         (reference overlap.py:8-67) only overlaps if XLA splits the
@@ -746,8 +798,12 @@ class MOELayer:
             out[name] = p
         return out
 
-    def _build_forward(self, cfg: _VariantCfg):
-        """Return fn(params, x2, key) -> (out, l_aux) for static cfg."""
+    def _build_body(self, cfg: _VariantCfg):
+        """Per-device forward for static cfg: body(gate_params,
+        expert_params, x_local, key[, valid]) -> (out_local, l_aux).
+        Collectives run over this layer's expert axes, so the body
+        composes under any outer shard_map whose mesh carries them
+        (see `local_forward` for the public PP x EP hook)."""
         ep_axes = self._ep_axes()
         w = self.world_size
         e_global = self.num_global_experts
@@ -839,6 +895,14 @@ class MOELayer:
             if w > 1:
                 l_aux = lax.pmean(l_aux, ep_axes)
             return out, l_aux
+
+        return body
+
+    def _build_forward(self, cfg: _VariantCfg):
+        """Return fn(params, x2, key) -> (out, l_aux) for static cfg."""
+        ep_axes = self._ep_axes()
+        w = self.world_size
+        body = self._build_body(cfg)
 
         if w == 1:
             if cfg.has_valid:

@@ -3,9 +3,9 @@ reference) GPipe pipeline schedule."""
 
 from .mesh import MoeMesh, HierarchicalMesh, default_devices, \
     infer_num_hosts
-from .pipeline import pipeline, stack_stage_params
+from .pipeline import pipeline, pipeline_1f1b, stack_stage_params
 
 __all__ = [
     "MoeMesh", "HierarchicalMesh", "default_devices", "infer_num_hosts",
-    "pipeline", "stack_stage_params",
+    "pipeline", "pipeline_1f1b", "stack_stage_params",
 ]

@@ -48,6 +48,23 @@ def stack_stage_params(per_stage_params):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *per_stage_params)
 
 
+def _is_spec(x):
+    return x is None or isinstance(x, P)
+
+
+def _full_param_specs(stacked_params, axis, stage_param_specs):
+    """Prepend the stage axis to per-stage param specs (P(axis) for all
+    leaves when no per-stage specs are given — PP-only, params
+    replicated within a stage row)."""
+    if stage_param_specs is None:
+        return jax.tree.map(lambda _: P(axis), stacked_params)
+    leaves, treedef = jax.tree.flatten(stacked_params)
+    specs = jax.tree.flatten(stage_param_specs, is_leaf=_is_spec)[0]
+    assert len(leaves) == len(specs), (len(leaves), len(specs))
+    return jax.tree.unflatten(
+        treedef, [P(axis, *(s or ())) for s in specs])
+
+
 def _gpipe_local(stage_fn, axis, num_stages, n_micro, remat, has_aux,
                  params_local, x_micro):
     """Per-device GPipe schedule; call inside shard_map over `axis`.
@@ -113,7 +130,8 @@ def _gpipe_local(stage_fn, axis, num_stages, n_micro, remat, has_aux,
 
 
 def _1f1b_local(stage_fn, loss_fn, axis, num_stages, n_micro, has_aux,
-                params_local, x_micro):
+                data_axes, data_world, params_local, x_micro,
+                stage_param_specs=None):
     """Per-device 1F1B training schedule; call inside shard_map.
 
     Interleaved forward/backward in lockstep SPMD: every tick each
@@ -178,7 +196,14 @@ def _1f1b_local(stage_fn, loss_fn, axis, num_stages, n_micro, has_aux,
         g_loss = jax.grad(lambda yy: loss_fn(yy))(y_b) / n_micro
         g_y = jnp.where(sid == num_stages - 1, g_loss, bwd_state)
         g_y = jnp.where(valid_b, g_y, jnp.zeros_like(g_y))
-        aux_ct = jnp.where(valid_b, jnp.float32(1.0 / n_micro), 0.0)
+        # the stage's aux output is REPLICATED across the data axes
+        # (the MoE body pmeans l_aux over its expert axes); under
+        # manual per-device vjp each replica would seed the full
+        # cotangent and the psum in the pmean transpose would
+        # overcount data_world-fold — divide it out (shard_map's own
+        # transpose does this via the P() out-spec in the GPipe path)
+        aux_ct = jnp.where(
+            valid_b, jnp.float32(1.0 / (n_micro * data_world)), 0.0)
         dp, dx = vjp_fn((g_y, aux_ct))
         gacc = jax.tree.map(lambda a, d: a + d, gacc, dp)
 
@@ -203,14 +228,36 @@ def _1f1b_local(stage_fn, loss_fn, axis, num_stages, n_micro, has_aux,
     (_, _, _, gacc, loss_acc, aux_acc), _ = lax.scan(
         tick, carry0, jnp.arange(ticks))
 
-    loss = lax.psum(loss_acc, axis) / n_micro
+    # loss is computed per data shard (tokens sharded over data_axes
+    # within the last stage's row) — sum the shards; aux is already
+    # pmean'd across the expert axes inside the stage body
+    loss = lax.psum(loss_acc, (axis,) + data_axes) / n_micro
     aux = lax.psum(aux_acc, axis) / n_micro
+    if data_axes:
+        aux = lax.pmean(aux, data_axes)
+        # params replicated over a data axis see only that shard's
+        # tokens — their grads are partial sums; param leaves sharded
+        # over the axis (e.g. experts over 'e') already got the full
+        # gradient through the a2a and must NOT be summed again
+        gl, treedef = jax.tree.flatten(gacc)
+        if stage_param_specs is None:
+            specs = [()] * len(gl)
+        else:
+            specs = [tuple(a for s in (sp or ()) if s is not None
+                           for a in ((s,) if isinstance(s, str) else s))
+                     for sp in jax.tree.flatten(
+                         stage_param_specs, is_leaf=_is_spec)[0]]
+        gl = [lax.psum(g, tuple(a for a in data_axes if a not in sp))
+              if any(a not in sp for a in data_axes) else g
+              for g, sp in zip(gl, specs)]
+        gacc = jax.tree.unflatten(treedef, gl)
     grads = jax.tree.map(lambda g: g[None], gacc)
     return loss, aux, grads
 
 
 def pipeline_1f1b(stage_fn, loss_fn, num_stages, mesh, axis="pp",
-                  n_micro=None, has_aux=False):
+                  n_micro=None, has_aux=False, data_spec=None,
+                  stage_param_specs=None):
     """1F1B (one-forward-one-backward) pipelined *training step*.
 
     The reference has no pipeline parallelism at all (SURVEY.md §2.3);
@@ -225,6 +272,13 @@ def pipeline_1f1b(stage_fn, loss_fn, num_stages, mesh, axis="pp",
     has_aux=True); must be shape-preserving. loss_fn(y) -> scalar is
     applied to each final-stage microbatch output.
 
+    PP x EP / PP x DP composition: `data_spec` (a PartitionSpec over
+    the per-microbatch dims, e.g. P('e')) shards tokens over further
+    mesh axes within each stage row, and `stage_param_specs` (pytree of
+    per-stage specs, e.g. P('e') on expert leaves) shards stage params
+    — use MOELayer.local_forward as the stage body so its expert
+    collectives ride the same mesh's ('e','r','g') axes.
+
     Returns fn(stacked_params, x) -> (loss, grads):
       loss = mean_micro loss_fn(y_m) + mean_micro sum_stage aux  (the
       same total `pipeline(...)` + jax.grad differentiates);
@@ -235,19 +289,27 @@ def pipeline_1f1b(stage_fn, loss_fn, num_stages, mesh, axis="pp",
             f"mesh axis {axis!r} has size {mesh.shape[axis]}, "
             f"need num_stages={num_stages}")
     nm = n_micro or num_stages
+    data_axes = tuple(a for s in (data_spec or ()) if s is not None
+                      for a in ((s,) if isinstance(s, str) else s))
 
+    data_world = 1
+    for a in data_axes:
+        data_world *= mesh.shape[a]
     local = functools.partial(
-        _1f1b_local, stage_fn, loss_fn, axis, num_stages, nm, has_aux)
+        _1f1b_local, stage_fn, loss_fn, axis, num_stages, nm, has_aux,
+        data_axes, data_world, stage_param_specs=stage_param_specs)
 
     def fn(stacked_params, x):
         b = x.shape[0]
         if b % nm:
             raise ValueError(f"batch {b} not divisible by n_micro={nm}")
         xm = x.reshape((nm, b // nm) + x.shape[1:])
-        pspecs = jax.tree.map(lambda _: P(axis), stacked_params)
+        pspecs = _full_param_specs(stacked_params, axis,
+                                   stage_param_specs)
+        xspec = P(None, *(data_spec or P()))
         shmapped = jax.shard_map(
             local, mesh=mesh,
-            in_specs=(pspecs, P()),
+            in_specs=(pspecs, xspec),
             out_specs=(P(), P(), pspecs),
             check_vma=False)
         loss, aux, grads = shmapped(stacked_params, xm)
@@ -257,18 +319,26 @@ def pipeline_1f1b(stage_fn, loss_fn, num_stages, mesh, axis="pp",
 
 
 def pipeline(stage_fn, num_stages, mesh, axis="pp", n_micro=None,
-             remat=False, has_aux=False):
+             remat=False, has_aux=False, data_spec=None,
+             stage_param_specs=None):
     """Build a pipelined version of `stage_fn` over `mesh` axis `axis`.
 
     stage_fn(stage_params, x) -> y (or (y, aux_scalar) with
     has_aux=True, e.g. a MoE block returning its l_aux). Must be
     shape-preserving in x.
 
+    PP x EP / PP x DP composition: `data_spec` (PartitionSpec over the
+    per-microbatch dims, e.g. P('e')) shards tokens over further mesh
+    axes within each stage row; `stage_param_specs` (pytree of
+    per-stage specs) shards stage params — use MOELayer.local_forward
+    as the stage body so its expert collectives ride the same mesh.
+
     Returns fn(stacked_params, x) -> y (or (y, aux_mean)):
       stacked_params: pytree with leading stage dim == num_stages
         (see `stack_stage_params`), sharded over `axis`;
       x: [batch, ...] — split into n_micro microbatches (batch must be
-        divisible); outputs are re-concatenated and replicated.
+      divisible); outputs are re-concatenated and replicated across
+      the stage axis (sharded over `data_spec` axes, if any).
     """
     if mesh.shape[axis] != num_stages:
         raise ValueError(
@@ -279,19 +349,19 @@ def pipeline(stage_fn, num_stages, mesh, axis="pp", n_micro=None,
     local = functools.partial(
         _gpipe_local, stage_fn, axis, num_stages, nm, remat, has_aux)
 
-    other = tuple(a for a in mesh.axis_names if a != axis)
-
     def fn(stacked_params, x):
         b = x.shape[0]
         if b % nm:
             raise ValueError(
                 f"batch {b} not divisible by n_micro={nm}")
         xm = x.reshape((nm, b // nm) + x.shape[1:])
-        pspecs = jax.tree.map(lambda _: P(axis), stacked_params)
+        pspecs = _full_param_specs(stacked_params, axis,
+                                   stage_param_specs)
+        xspec = P(None, *(data_spec or P()))
         shmapped = jax.shard_map(
             local, mesh=mesh,
-            in_specs=(pspecs, P()),
-            out_specs=(P(), P()),
+            in_specs=(pspecs, xspec),
+            out_specs=(xspec, P()),
             check_vma=False)
         outs, aux = shmapped(stacked_params, xm)
         y = outs.reshape((b,) + x.shape[1:])
