@@ -292,19 +292,50 @@ def test_tp_int8_quant_data_equals_model_parallel():
                                rtol=2e-3, atol=2e-3)
 
 
-def test_tp_int4_regather_guard():
-    """INT4 block-packed TP weights must refuse the regather modes that
-    would interleave packing blocks, loudly."""
-    layer = moe.moe_layer(
-        gate_type={"type": "top", "k": 2, "capacity_factor": 1.0},
-        experts={"type": "ffn", "num_experts_per_device": -2,
-                 "hidden_size_per_expert": 64},
-        model_dim=32, seeds=(1, 1, 1), parallel_type="data",
-        group=jax.devices()[:8])
-    params = layer.init(jax.random.PRNGKey(0))
+def test_tp_int4_regather_all_modes_agree():
+    """INT4 block-packed TP weights support EVERY regather mode (the
+    round-2 STATUS gap #4): the K-dim all_gather concatenates per-shard
+    packing blocks in K order, the gathered QuantizedWeight carries the
+    block count, and the grouped-GEMM kernel unpacks block-aware. DP
+    (full regather), adaptive:1 (partial 'g' regather -> 2 blocks) and
+    MP (no regather) must all agree."""
+    def make(ptype):
+        return moe.moe_layer(
+            gate_type={"type": "top", "k": 2, "capacity_factor": 1.0},
+            experts={"type": "ffn", "num_experts_per_device": -2,
+                     "hidden_size_per_expert": 64},
+            model_dim=32, seeds=(1, 1, 1), parallel_type=ptype,
+            group=jax.devices()[:8])
+
+    base = make("model")
+    params = base.init(jax.random.PRNGKey(0))
     qp = dict(params)
     qp["experts"] = quant.quantize_expert_params(
-        params["experts"], bits=4, sharded_count=layer.sharded_count)
+        params["experts"], bits=4, sharded_count=base.sharded_count)
     x = jax.random.normal(jax.random.PRNGKey(1), (64, 32))
-    with pytest.raises(NotImplementedError, match="block"):
-        layer(layer.shard_params(qp), x)
+
+    out_mp, _ = make("model")(base.shard_params(qp), x)
+    out_dp, _ = make("data")(base.shard_params(qp), x)
+    np.testing.assert_allclose(np.asarray(out_dp), np.asarray(out_mp),
+                               rtol=2e-3, atol=2e-3)
+    layer_r1 = make("adaptive:1")
+    out_r1, _ = layer_r1(base.shard_params(qp, adaptive_r=1), x)
+    np.testing.assert_allclose(np.asarray(out_r1), np.asarray(out_mp),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_grouped_gemm_quant_block_packed():
+    """Kernel-level: blocks>1 split-half packing (TP-regathered K
+    slices) unpacks block-aware and matches the dequantized dense."""
+    rng = np.random.default_rng(9)
+    e, c, k, n = 3, 16, 256, 128
+    x = jnp.asarray(rng.standard_normal((e, c, k)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((e, k, n)) * .05, jnp.float32)
+    for blocks in (2, 4):
+        qw = quant.quantize(w, bits=4, shard_blocks=blocks)
+        assert qw.blocks == blocks
+        ref = jnp.einsum("eck,ekn->ecn", x, quant.dequantize(qw))
+        out = grouped_gemm_quant(
+            x, qw, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-2)

@@ -739,6 +739,27 @@ class MOELayer:
             platform=self.devices[0].platform,
         )
 
+    def _local_quant_view(self, expert_params):
+        """Inside the shard_map body, K-sliced INT4 weights are plain
+        split-half packings of their LOCAL K range (quantize packed
+        per shard block precisely so slicing and unpacking commute) —
+        rewrite the global blocks metadata to the local view so every
+        consumer (kernel, dequantize, regather) sees this array's true
+        packing."""
+        if self.sharded_count <= 1:
+            return expert_params
+        import dataclasses
+        from ..ops.quant import QuantizedWeight
+        shard_axes = self._expert_shard_axes()
+        out = {}
+        for name, p in expert_params.items():
+            if isinstance(p, QuantizedWeight) and p.bits == 4 \
+                    and p.blocks > 1 \
+                    and shard_axes.get(name, (0, None))[1] is not None:
+                p = dataclasses.replace(p, blocks=1)
+            out[name] = p
+        return out
+
     def _gather_expert_params(self, expert_params, cfg: _VariantCfg):
         """Regather sharded expert weights for the chosen adaptive_r
         (reference experts/ffn.py:83-109 zero_gather choreography)."""
@@ -746,29 +767,34 @@ class MOELayer:
         shard_axes = self._expert_shard_axes()
         r = cfg.adaptive_r
 
-        def gather(p, axes, dim):
+        def gather(p, axes, dim, k_shards=1):
             """all_gather that understands QuantizedWeight leaves: the
             packed values gather on `dim`; the [E, 1, N] scales gather
             only where their dim is real (size > 1) — a K-sliced
-            quantized matrix keeps its scales replicated."""
+            quantized matrix keeps its scales replicated.
+
+            k_shards: number of contiguous K-slices this gather
+            concatenates (INT4 K-sliced weights are nibble-packed
+            *per shard block* — quantize(shard_blocks=...) — so a
+            gather of n slices yields an n-block split-half layout;
+            the grouped-GEMM kernel and dequantize unpack it
+            block-aware via the blocks field)."""
             if isinstance(p, QuantizedWeight):
-                if p.bits == 4 and p.blocks > 1:
-                    raise NotImplementedError(
-                        "INT4 TP weights are nibble-packed per shard "
-                        "block; regathering them (adaptive_r=0 or "
-                        "adaptive_r < sharded_count) would interleave "
-                        "blocks. Run with adaptive_r == sharded_count "
-                        "(parallel_type='model').")
                 vals = lax.all_gather(p.values, axes, axis=dim, tiled=True)
                 scales = p.scales
                 if scales.shape[dim] != 1:
                     scales = lax.all_gather(scales, axes, axis=dim,
                                             tiled=True)
+                # block count only grows when concatenating K-slices —
+                # dim 1 is the (packed) contraction dim of [E, K, N]
+                blocks = p.blocks * (
+                    k_shards if p.bits == 4 and dim == 1 else 1)
                 return QuantizedWeight(values=vals, scales=scales,
                                        bits=p.bits, orig_k=p.orig_k,
-                                       blocks=p.blocks)
+                                       blocks=blocks)
             return lax.all_gather(p, axes, axis=dim, tiled=True)
 
+        g_size = self.sharded_count // max(r, 1)
         out = {}
         for name, p in expert_params.items():
             e_dim, s_dim = shard_axes.get(name, (0, None))
@@ -776,8 +802,9 @@ class MOELayer:
                 # DP-expert mode: gather everything to global shapes.
                 if self.sharded_count > 1:
                     if s_dim is not None:
-                        p = gather(p, "g", s_dim)
-                        p = gather(p, "r", s_dim)
+                        p = gather(p, "g", s_dim, k_shards=g_size)
+                        p = gather(p, "r", s_dim,
+                                   k_shards=self.sharded_count // g_size)
                     p = gather(p, "e", e_dim)
                 elif cfg.use_2dh:
                     p = gather(p, ("dcn", "ici"), e_dim)
@@ -794,7 +821,7 @@ class MOELayer:
                         p = p / r
                 elif cfg.adaptive_r < self.sharded_count:
                     # Hidden-dim shards regathered to H/r per replica.
-                    p = gather(p, "g", s_dim)
+                    p = gather(p, "g", s_dim, k_shards=g_size)
             out[name] = p
         return out
 
@@ -809,6 +836,7 @@ class MOELayer:
         e_global = self.num_global_experts
 
         def body(gate_params, expert_params, x_local, key, valid=None):
+            expert_params = self._local_quant_view(expert_params)
             idx = lax.axis_index(ep_axes) if w > 1 else 0
             local_key = jax.random.fold_in(key, idx)
             token_mask = None

@@ -32,7 +32,7 @@ from .quant import QuantizedWeight
 
 
 def _gmm_kernel(counts_ref, x_ref, w_ref, s_ref, o_ref, *, bits, bm, bn,
-                out_dtype, twodot):
+                out_dtype, twodot, blocks):
     e = pl.program_id(0)
     i = pl.program_id(1)
     count = counts_ref[e]
@@ -40,7 +40,20 @@ def _gmm_kernel(counts_ref, x_ref, w_ref, s_ref, o_ref, *, bits, bm, bn,
     @pl.when(i * bm < count)
     def _compute():
         wq = w_ref[0]                                   # [Kp, bn] int8
-        if bits == 4:
+        if bits == 4 and blocks > 1:
+            # block-wise split-half packing (TP-regathered K slices,
+            # quantize(shard_blocks=...)): unpack each contiguous
+            # K-block; concat order == natural K order
+            v = wq.astype(jnp.int32)
+            kb = v.shape[0] // blocks
+            parts = []
+            for b in range(blocks):
+                vb = v[b * kb:(b + 1) * kb]
+                parts.append((vb << 28) >> 28)
+                parts.append(vb >> 4)
+            q = jnp.concatenate(parts, axis=0).astype(jnp.bfloat16)
+            acc = jnp.dot(x_ref[0], q, preferred_element_type=jnp.float32)
+        elif bits == 4:
             # int32-domain nibble unpack (Mosaic rejects i8/i16 shifts
             # and bitwise ops; f32 floor-math is ~50% slower). Two
             # realizations of the dot, selected per-shape by the caller:
@@ -137,7 +150,7 @@ def grouped_gemm_quant(x, qw: QuantizedWeight, counts=None, *, bm=256,
     twodot = bool(int(td_env)) if td_env else False
     kernel = functools.partial(
         _gmm_kernel, bits=qw.bits, bm=bm, bn=bn, out_dtype=x.dtype,
-        twodot=twodot)
+        twodot=twodot, blocks=qw.blocks)
     flops = 2 * e * cp * k * np_
     out = pl.pallas_call(
         kernel,
