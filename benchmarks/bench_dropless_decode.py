@@ -66,28 +66,40 @@ def run(args):
 
     # params must be jit *arguments* (closed-over arrays embed as HLO
     # constants — hundreds of MB the remote-compile channel rejects).
-    @jax.jit
-    def loop(params, xx):
-        def step(i, carry):
-            xx, acc = carry
-            out, _ = layer(params, xx + (acc * 1e-20).astype(dtype),
-                           key=jax.random.fold_in(jax.random.PRNGKey(2), i),
-                           capacity_override=cap,
-                           megablocks_size=args.megablocks_size)
-            return (xx, acc + jnp.sum(out.astype(jnp.float32)) * 1e-9)
-        return lax.fori_loop(0, args.iters, step, (xx, jnp.float32(0)))
+    def make_loop(iters):
+        @jax.jit
+        def loop(params, xx):
+            def step(i, carry):
+                xx, acc = carry
+                out, _ = layer(
+                    params, xx + (acc * 1e-20).astype(dtype),
+                    key=jax.random.fold_in(jax.random.PRNGKey(2), i),
+                    capacity_override=cap,
+                    megablocks_size=args.megablocks_size)
+                return (xx, acc + jnp.sum(out.astype(jnp.float32)) * 1e-9)
+            return lax.fori_loop(0, iters, step, (xx, jnp.float32(0)))
+        return loop
 
-    r = loop(params, x)
-    float(r[1])          # force real completion (tunnel-safe sync)
-    # Time a run with a *different* input: the remote execution channel
-    # may serve a repeated identical (executable, args) pair from cache,
-    # and block_until_ready can return before device completion — fetch
-    # a scalar instead.
-    x2 = x + jnp.asarray(1e-3, dtype)
-    t0 = time.perf_counter()
-    r = loop(params, x2)
-    float(r[1])
-    dt = (time.perf_counter() - t0) / args.iters
+    # Loop differencing: time iters and 3*iters chained loops and take
+    # the slope — cancels the fixed per-dispatch cost (large and
+    # variable through the remote-attach tunnel) exactly. Every timed
+    # run uses a distinct input (a repeated identical (executable,
+    # args) pair may be served from an execution cache) and completion
+    # is forced by fetching a scalar.
+    l1, l3 = make_loop(args.iters), make_loop(3 * args.iters)
+    float(l1(params, x)[1])
+    float(l3(params, x)[1])
+
+    def timed(loop, dx):
+        x2 = x + jnp.asarray(dx, dtype)
+        t0 = time.perf_counter()
+        r = loop(params, x2)
+        float(r[1])
+        return time.perf_counter() - t0
+
+    t1 = min(timed(l1, 1e-3), timed(l1, 2e-3))
+    t3 = min(timed(l3, 3e-3), timed(l3, 4e-3))
+    dt = max(t3 - t1, 1e-9) / (2 * args.iters)
     tokens_per_sec = args.tokens / dt
     print(json.dumps({
         "metric": "dropless_decode_tokens_per_sec_per_chip",
@@ -113,10 +125,9 @@ def main():
     parser.add_argument("--megablocks_size", type=int, default=0)
     parser.add_argument("--fused", type=int, default=1,
                         help="use the fused single-kernel FFN stream")
-    # 400 iterations keep the fixed per-dispatch link round-trip (~80 ms
-    # through the remote-attach tunnel) under 3% of the measurement; 50
-    # iters understated throughput ~2.4x at these sub-ms step times.
-    parser.add_argument("--iters", type=int, default=400)
+    # differenced loop timing (see run()): iters sets the short loop
+    # length; the long loop is 3x. 200 keeps one run under ~1 s.
+    parser.add_argument("--iters", type=int, default=200)
     run(parser.parse_args())
 
 

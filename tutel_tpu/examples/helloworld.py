@@ -154,22 +154,37 @@ def run(args, log=print):
                     lambda p, g: p - lr * g.astype(p.dtype), params, grads)
             return (params, key), loss
 
-        @jax.jit
-        def run_all(params, key):
-            (params, _), losses = lax.scan(
-                one_step, (params, key), None, length=args.num_steps)
-            return params, losses
+        def make_run_all(length):
+            @jax.jit
+            def run_all(params, key):
+                (params, _), losses = lax.scan(
+                    one_step, (params, key), None, length=length)
+                return params, losses
+            return run_all
 
+        run_all = make_run_all(args.num_steps)
         new_params, losses_arr = run_all(params, jax.random.PRNGKey(1))
         float(losses_arr[-1])                           # compile + run
-        # Time a run with different inputs (the warm result): a repeated
-        # identical (executable, args) pair may be served from cache by a
-        # remote-execution channel, and block_until_ready can return
-        # before device completion — fetch a scalar to really sync.
-        t_start = time.perf_counter()
-        _, losses_timed = run_all(new_params, jax.random.PRNGKey(3))
-        float(losses_timed[-1])
-        average_time = (time.perf_counter() - t_start) / args.num_steps
+        # Timing by loop differencing: run n steps and 3n steps and take
+        # the slope. This cancels the fixed per-dispatch cost exactly —
+        # on a remote-attached device the dispatch round-trip is both
+        # large and variable, so a single-loop measurement carries an
+        # unknowable additive error. Inputs differ per run (a repeated
+        # identical (executable, args) pair may be served from cache),
+        # and completion is forced by fetching a scalar.
+        run_all3 = make_run_all(3 * args.num_steps)
+        _, l3 = run_all3(new_params, jax.random.PRNGKey(3))
+        float(l3[-1])                                   # compile + run
+
+        def timed(fn, p, seed):
+            t0 = time.perf_counter()
+            _, ls = fn(p, jax.random.PRNGKey(seed))
+            float(ls[-1])
+            return time.perf_counter() - t0
+
+        t1 = min(timed(run_all, new_params, 5), timed(run_all, new_params, 7))
+        t3 = min(timed(run_all3, new_params, 9), timed(run_all3, new_params, 11))
+        average_time = max(t3 - t1, 1e-9) / (2 * args.num_steps)
         params = new_params
         losses = [float(l) for l in losses_arr]
         mm_ceof = 1 if args.eval else 3
