@@ -201,7 +201,8 @@ def _fused_kernel(counts_ref, x_ref, w_ref, sb_ref, o_ref, h_sc, *,
 
 
 def fused_ffn_quant(x, stream: FusedFFNStream, counts=None,
-                    activation_fn=jax.nn.gelu, interpret=False):
+                    activation_fn=jax.nn.gelu, interpret=False,
+                    chunk=None):
     """out[e] = act(x[e] @ W1[e] * s1 + b1) @ W2[e] * s2 + b2, one kernel.
 
     x: [E, C, K]; counts [E] live rows per expert (None = all).
@@ -237,8 +238,8 @@ def fused_ffn_quant(x, stream: FusedFFNStream, counts=None,
         xp = jnp.pad(xp, ((0, 0), (0, cp - c), (0, 0)))
     xw = pack * kr
 
-    chunk = int(os.environ.get("TUTEL_TPU_FUSED_CHUNK", "0")) or \
-        min(bw, 512)
+    chunk = chunk or int(os.environ.get("TUTEL_TPU_FUSED_CHUNK", "0")) \
+        or min(bw, 512)
     if bw % chunk:
         chunk = min(bw, 512)
     kernel = functools.partial(

@@ -197,13 +197,17 @@ def quantized_ffn(x, params, ctx, activation_fn, output_dim,
     if stream is not None and stream.n >= output_dim:
         from .fused_ffn_pallas import fused_ffn_quant, vmem_bytes
         # single-kernel phase-packed stream (ops/fused_ffn_pallas):
-        # biases are folded into the stream at prepare time. Large row
-        # counts overflow VMEM — fall back to the two-call path then.
-        if vmem_bytes(stream, c, x.dtype) <= 14 * 1024 * 1024:
-            out = fused_ffn_quant(x, stream, counts,
-                                  activation_fn=activation_fn,
-                                  interpret=interpret)
-            return out[..., :output_dim]
+        # biases are folded into the stream at prepare time. Under VMEM
+        # pressure (large row counts) shrink the unpack chunk first;
+        # fall back to the two-call path only if even chunk=128 won't
+        # fit.
+        for chunk in (512, 256, 128):
+            if vmem_bytes(stream, c, x.dtype, chunk) \
+                    <= 15 * 1024 * 1024 and stream.bw % chunk == 0:
+                out = fused_ffn_quant(x, stream, counts,
+                                      activation_fn=activation_fn,
+                                      interpret=interpret, chunk=chunk)
+                return out[..., :output_dim]
 
     import os
     bn = int(os.environ.get("TUTEL_TPU_GMM_BN", "0")) or None
