@@ -108,6 +108,66 @@ def test_prepare_rejects_unsupported():
     assert fp.prepare_fused_ffn(q3, quantize(w4, bits=4)) is None
 
 
+def _ref_swiglu(x, q1, q2, q3):
+    w1, w2, w3 = (dequantize(q).astype(x.dtype) for q in (q1, q2, q3))
+    y1 = jnp.einsum("eck,ekh->ech", x, w1,
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+    y2 = jnp.einsum("eck,ekh->ech", x, w2,
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+    return jnp.einsum("ech,ehn->ecn", jax.nn.silu(y1) * y2, w3,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+@pytest.mark.parametrize("shape", [(3, 16, 256, 256, 256),
+                                   (2, 8, 256, 512, 384)])
+def test_fused_swiglu_matches_reference(bits, shape):
+    e, c, k, h, n = shape
+    rng = np.random.default_rng(bits + e)
+    x = jnp.asarray(rng.standard_normal((e, c, k)), jnp.float32)
+    q1 = quantize(jnp.asarray(
+        rng.standard_normal((e, k, h)) * .05, jnp.float32), bits=bits)
+    q2 = quantize(jnp.asarray(
+        rng.standard_normal((e, k, h)) * .05, jnp.float32), bits=bits)
+    q3 = quantize(jnp.asarray(
+        rng.standard_normal((e, h, n)) * .05, jnp.float32), bits=bits)
+    st = fp.prepare_fused_swiglu(q1, q2, q3, bw=128)
+    assert st is not None
+    ref = _ref_swiglu(x, q1, q2, q3)
+    refmax = float(jnp.max(jnp.abs(ref))) + 1e-9
+
+    out = fp.fused_swiglu_quant(x, st, None, interpret=True)
+    assert float(jnp.max(jnp.abs(out - ref))) / refmax < 5e-3
+
+    counts = jnp.asarray(rng.integers(0, c + 1, (e,)), jnp.int32)
+    out2 = fp.fused_swiglu_quant(x, st, counts, interpret=True)
+    mask = jnp.arange(c)[None, :, None] < counts[:, None, None]
+    assert float(jnp.max(jnp.where(
+        mask, jnp.abs(out2 - ref), 0))) / refmax < 5e-3
+
+
+def test_llama_expert_uses_swiglu_stream():
+    from tutel_tpu.experts.llama_ffn import LlamaFFNNetwork
+    from tutel_tpu.ops.quant import quantize_expert_params
+
+    rng = np.random.default_rng(13)
+    net = LlamaFFNNetwork(model_dim=256, hidden_size_per_expert=512,
+                          num_experts_per_device=2)
+    p = net.init(jax.random.PRNGKey(0))
+    qp = quantize_expert_params(p, bits=4)
+    qp2 = fp.prepare_fused_ffn_params(qp)
+    assert "fused_stream" in qp2
+
+    class Ctx:
+        dispatch_count = jnp.asarray([9, 16], jnp.int32)
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 256)), jnp.float32)
+    o1 = net.apply(qp, x, Ctx())
+    o2 = net.apply(qp2, x, Ctx())
+    mask = jnp.arange(16)[None, :, None] < Ctx.dispatch_count[:, None, None]
+    assert float(jnp.max(jnp.where(mask, jnp.abs(o1 - o2), 0))) < 1e-4
+
+
 def test_quantized_ffn_uses_stream():
     rng = np.random.default_rng(11)
     e, c, k, h, n = 3, 16, 256, 512, 256

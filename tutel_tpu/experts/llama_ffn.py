@@ -66,6 +66,18 @@ class LlamaFFNNetwork:
         from ..ops.grouped_gemm_pallas import grouped_gemm_quant
         counts = getattr(ctx, "dispatch_count", None) if ctx else None
         interpret = jax.devices()[0].platform != "tpu"
+
+        stream = params.get("fused_stream")
+        if stream is not None:
+            # single-kernel SwiGLU stream (ops/fused_ffn_pallas)
+            from ..ops.fused_ffn_pallas import (fused_swiglu_quant,
+                                                vmem_bytes)
+            if vmem_bytes(stream, x.shape[1], x.dtype, per_tile=True) \
+                    <= 15 * 1024 * 1024:
+                return fused_swiglu_quant(
+                    x, stream, counts, activation_fn=self.activation_fn,
+                    interpret=interpret)
+
         bn = int(os.environ.get("TUTEL_TPU_GMM_BN", "1024"))
         y1 = grouped_gemm_quant(x, params["w1"], counts, bn=bn,
                                 interpret=interpret)

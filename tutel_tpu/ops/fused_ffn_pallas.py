@@ -139,23 +139,30 @@ def prepare_fused_ffn(fc1: QuantizedWeight, fc2: QuantizedWeight,
                           n=n, t1=t1, t2=t2, bw=bw, kr=kr)
 
 
-def vmem_bytes(stream: FusedFFNStream, c, dtype, chunk=512):
+def vmem_bytes(stream: FusedFFNStream, c, dtype, chunk=512,
+               per_tile=False):
     """Estimate of the kernel's VMEM working set for row count c: the
     double-buffered stream + x/out blocks, hidden scratch, and the
-    unpack temporaries. Callers fall back to the two-call grouped GEMM
-    when this approaches the ~16 MB VMEM limit."""
+    unpack temporaries. Callers fall back to the multi-call grouped
+    GEMM when this approaches the ~16 MB VMEM limit.
+
+    per_tile: the SwiGLU kernel streams one [kr, bw] tile per grid
+    step (fused_swiglu_quant) instead of the whole expert, and unpacks
+    the full tile at once."""
     isize = jnp.dtype(dtype).itemsize
     pack = 2 if stream.bits == 4 else 1
     sub = 16 if dtype == jnp.bfloat16 else 8
     cp = -(-c // sub) * sub
     xw = pack * stream.kr
-    t = stream.t1 + stream.t2
+    t = 1 if per_tile else stream.t1 + stream.t2
+    unpack_cols = stream.bw if per_tile else chunk
+    out_cols = stream.bw if per_tile else stream.t2 * stream.bw
     return (2 * t * stream.kr * stream.bw            # weight stream x2
             + 2 * t * 2 * stream.bw * 4              # sb x2
             + 2 * cp * xw * isize                    # x block x2
-            + 2 * cp * stream.t2 * stream.bw * isize  # out block x2
+            + 2 * cp * out_cols * isize              # out block x2
             + cp * xw * isize                        # hidden scratch
-            + chunk * stream.kr * (4 + 2 * pack))    # unpack temps
+            + unpack_cols * stream.kr * (4 + 2 * pack))  # unpack temps
 
 
 def _fused_kernel(counts_ref, x_ref, w_ref, sb_ref, o_ref, h_sc, *,
@@ -275,14 +282,185 @@ def fused_ffn_quant(x, stream: FusedFFNStream, counts=None,
     return out[:, :c, :stream.n]
 
 
+def prepare_fused_swiglu(w1: QuantizedWeight, w2: QuantizedWeight,
+                         w3: QuantizedWeight, bw=None):
+    """Phase-packed stream for a SwiGLU expert (experts/llama_ffn.py):
+    out = (act(x@W1) * (x@W2)) @ W3, W1/W2 [E, K, H], W3 [E, H, N].
+
+    Tiles: t1 W1-tiles, then t1 W2-tiles, then t2 W3-tiles. Unlike the
+    two-layer stream this one is streamed per-tile (grid (E, T)) — the
+    whole-expert block would be kr*(2H+N) bytes, past the VMEM budget
+    at production sizes — which still removes the three pipeline
+    drains and the two [E, C, H] HBM round-trips of the three-call path.
+    Returns None when the shapes don't qualify (caller falls back).
+    """
+    qs = (w1, w2, w3)
+    if any(not isinstance(q, QuantizedWeight) for q in qs):
+        return None
+    bits = w1.bits
+    if any(q.bits != bits or q.blocks != 1 for q in qs):
+        return None
+    e, k, h = w1.shape
+    if w2.shape != (e, k, h):
+        return None
+    e3, h3, n = w3.shape
+    if e3 != e or h3 != h or h < k:
+        return None
+    kr = w3.values.shape[1]        # packed rows of W3 (H or H/2) == max
+    if bw is None:
+        for cand in (2048, 1024, 512, 256, 128):
+            if h % cand == 0 and 2 * kr * cand <= 12 * 1024 * 1024:
+                bw = cand
+                break
+        else:
+            return None
+    if h % bw or 2 * kr * bw > 12 * 1024 * 1024:
+        return None
+    t1 = h // bw
+    t2 = -(-n // bw)
+
+    def tile_cols(q, ncols, nt):
+        v, s = q.values, jnp.broadcast_to(
+            q.scales.astype(jnp.float32), (e, 1, ncols))
+        pad = nt * bw - ncols
+        if pad:
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, pad)))
+            s = jnp.pad(s, ((0, 0), (0, 0), (0, pad)))
+        if v.shape[1] < kr:
+            v = jnp.pad(v, ((0, 0), (0, kr - v.shape[1]), (0, 0)))
+        v = v.reshape(e, kr, nt, bw).transpose(0, 2, 1, 3)
+        s = jnp.concatenate([s, jnp.zeros_like(s)], axis=1)
+        s = s.reshape(e, 2, nt, bw).transpose(0, 2, 1, 3)
+        return v, s
+
+    parts = [tile_cols(w1, h, t1), tile_cols(w2, h, t1),
+             tile_cols(w3, n, t2)]
+    wstream = jnp.concatenate([p[0] for p in parts], axis=1)
+    sb = jnp.concatenate([p[1] for p in parts], axis=1)
+    return FusedFFNStream(wstream=wstream, sb=sb, bits=bits, k=k, h=h,
+                          n=n, t1=t1, t2=t2, bw=bw, kr=kr)
+
+
+def _unpack(wq, bits):
+    """[kr, bw] int8 tile -> [pack*kr, bw] bf16 (split-half order)."""
+    if bits == 4:
+        v = wq.astype(jnp.int32)
+        return jnp.concatenate([(v << 28) >> 28, v >> 4],
+                               axis=0).astype(jnp.bfloat16)
+    return wq.astype(jnp.bfloat16)
+
+
+def _swiglu_kernel(counts_ref, x_ref, w_ref, sb_ref, o_ref, h_sc, *,
+                   bits, t1, bw, act, out_dtype):
+    e = pl.program_id(0)
+    t = pl.program_id(1)
+    count = counts_ref[e]
+
+    def dot_tile(src):
+        # f32 accumulate + scale; activation/product also run in f32
+        # (Mosaic rejects some transcendental lowerings on bf16 vectors)
+        q = _unpack(w_ref[0, 0], bits)
+        acc = jnp.dot(src, q, preferred_element_type=jnp.float32)
+        return acc * sb_ref[0, 0, 0, :][None, :]
+
+    @pl.when((t < t1) & (count > 0))
+    def _w1():
+        h_sc[:, pl.ds(t * bw, bw)] = act(dot_tile(x_ref[0])).astype(
+            h_sc.dtype)
+
+    @pl.when((t >= t1) & (t < 2 * t1) & (count > 0))
+    def _w2():
+        off = (t - t1) * bw
+        cur = h_sc[:, pl.ds(off, bw)].astype(jnp.float32)
+        h_sc[:, pl.ds(off, bw)] = (cur * dot_tile(x_ref[0])).astype(
+            h_sc.dtype)
+
+    @pl.when((t == 0) & (count <= 0))
+    def _empty():
+        h_sc[...] = jnp.zeros_like(h_sc)
+
+    @pl.when(t >= 2 * t1)
+    def _w3():
+        o_ref[0] = dot_tile(h_sc[...]).astype(out_dtype)
+
+
+def fused_swiglu_quant(x, stream: FusedFFNStream, counts=None,
+                       activation_fn=jax.nn.silu, interpret=False):
+    """out[e] = (act(x@W1)*(x@W2)) @ W3 in one kernel over the
+    prepare_fused_swiglu stream. Same row semantics as fused_ffn_quant
+    (no biases — the Llama expert has none)."""
+    e, c, k = x.shape
+    assert k == stream.k and e == stream.wstream.shape[0]
+    if counts is None:
+        counts = jnp.full((e,), c, dtype=jnp.int32)
+    counts = counts.astype(jnp.int32)
+
+    bits, kr, bw = stream.bits, stream.kr, stream.bw
+    t1, t2 = stream.t1, stream.t2
+    pack = 2 if bits == 4 else 1
+    sub = 16 if x.dtype == jnp.bfloat16 else 8
+    cp = -(-c // sub) * sub
+
+    kq = k // pack
+    if kr > kq:
+        if bits == 4:
+            z = jnp.zeros((e, c, kr - kq), x.dtype)
+            xp = jnp.concatenate([x[:, :, :kq], z, x[:, :, kq:], z],
+                                 axis=2)
+        else:
+            xp = jnp.pad(x, ((0, 0), (0, 0), (0, kr - k)))
+    else:
+        xp = x
+    if cp > c:
+        xp = jnp.pad(xp, ((0, 0), (0, cp - c), (0, 0)))
+    xw = pack * kr
+
+    kernel = functools.partial(
+        _swiglu_kernel, bits=bits, t1=t1, bw=bw, act=activation_fn,
+        out_dtype=x.dtype)
+    t = 2 * t1 + t2
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(e, t),
+            in_specs=[
+                pl.BlockSpec((1, cp, xw), lambda e, t, cnt: (e, 0, 0)),
+                pl.BlockSpec((1, 1, kr, bw),
+                             lambda e, t, cnt: (e, t, 0, 0)),
+                pl.BlockSpec((1, 1, 2, bw),
+                             lambda e, t, cnt: (e, t, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, cp, bw),
+                lambda e, t, cnt: (e, 0, jnp.maximum(t - 2 * t1, 0))),
+            scratch_shapes=[pltpu.VMEM((cp, xw), x.dtype)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((e, cp, t2 * bw), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * e * cp * (2 * k * stream.h + stream.h * stream.n),
+            bytes_accessed=xp.size * xp.dtype.itemsize
+            + stream.wstream.size + e * cp * t2 * bw * x.dtype.itemsize,
+            transcendentals=e * cp * stream.h),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(counts, xp, stream.wstream, stream.sb)
+    return out[:, :c, :stream.n]
+
+
 def prepare_fused_ffn_params(params, bw=None):
     """Attach a fused stream to an expert param dict holding quantized
     fc1_w/fc2_w (as produced by quant.quantize_expert_params). Returns
     a new dict with a "fused_stream" entry (or the dict unchanged when
     the shapes don't qualify)."""
-    st = prepare_fused_ffn(params.get("fc1_w"), params.get("fc2_w"),
-                           params.get("fc1_b"), params.get("fc2_b"),
-                           bw=bw)
+    if "w1" in params and "w3" in params:
+        st = prepare_fused_swiglu(params.get("w1"), params.get("w2"),
+                                  params.get("w3"), bw=bw)
+    else:
+        st = prepare_fused_ffn(params.get("fc1_w"), params.get("fc2_w"),
+                               params.get("fc1_b"), params.get("fc2_b"),
+                               bw=bw)
     if st is None:
         return params
     out = dict(params)
