@@ -108,6 +108,36 @@ def test_prepare_rejects_unsupported():
     assert fp.prepare_fused_ffn(q3, quantize(w4, bits=4)) is None
 
 
+def test_fused_stream_rides_ep_mesh():
+    """The phase-packed stream shards over the expert axes like any
+    expert leaf: the 8-device EP forward with a prepared stream equals
+    the two-call quantized EP forward exactly."""
+    from tutel_tpu import moe
+    from tutel_tpu.ops import quant
+
+    devices = jax.devices()[:8]
+    layer = moe.moe_layer(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 1.5},
+        experts={"type": "ffn", "num_experts_per_device": 2,
+                 "hidden_size_per_expert": 128, "has_fc1_bias": False,
+                 "has_fc2_bias": False},
+        model_dim=64, seeds=(1, 1, 1), group=devices)
+    params = layer.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (128, 64))
+    qp = dict(params)
+    qp["experts"] = quant.quantize_expert_params(params["experts"],
+                                                 bits=4)
+    out_plain, _ = layer(layer.shard_params(qp), x)
+
+    qp2 = dict(qp)
+    qp2["experts"] = fp.prepare_fused_ffn_params(qp["experts"])
+    assert "fused_stream" in qp2["experts"]
+    out_fused, _ = layer(layer.shard_params(qp2), x)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(out_fused)),
+        np.asarray(jax.device_get(out_plain)), atol=1e-4)
+
+
 def _ref_swiglu(x, q1, q2, q3):
     w1, w2, w3 = (dequantize(q).astype(x.dtype) for q in (q1, q2, q3))
     y1 = jnp.einsum("eck,ekh->ech", x, w1,

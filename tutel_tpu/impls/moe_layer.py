@@ -308,7 +308,13 @@ class MOELayer:
 
         def put_expert(k, v):
             from ..ops.quant import QuantizedWeight
-            spec = especs[k]
+            from ..ops.fused_ffn_pallas import FusedFFNStream
+            if isinstance(v, FusedFFNStream):
+                import dataclasses
+                return dataclasses.replace(
+                    v, wstream=put(v.wstream, P(ep_axes)),
+                    sb=put(v.sb, P(ep_axes)))
+            spec = especs.get(k, (ep_axes,))
             if isinstance(v, QuantizedWeight):
                 # values carry the full spec; scales are [E, 1, N] — drop
                 # the shard axis on any size-1 dim (TP x quantized
@@ -948,7 +954,16 @@ class MOELayer:
 
         def expert_spec(k, v):
             from ..ops.quant import QuantizedWeight
-            spec = especs[k]
+            from ..ops.fused_ffn_pallas import FusedFFNStream
+            if isinstance(v, FusedFFNStream):
+                # phase-packed weight stream: [E, T, Kr, bw] + sb —
+                # expert-dim sharded like any expert leaf (pure EP only;
+                # prepare_fused_ffn rejects TP block packing already)
+                return FusedFFNStream(
+                    wstream=P(ep_axes), sb=P(ep_axes), bits=v.bits,
+                    k=v.k, h=v.h, n=v.n, t1=v.t1, t2=v.t2, bw=v.bw,
+                    kr=v.kr)
+            spec = especs.get(k, (ep_axes,))
             if isinstance(v, QuantizedWeight):
                 # per-leaf specs: scales are [E, 1, N] — no shard axis on
                 # their size-1 dims (TP keeps K-sliced scales replicated)
