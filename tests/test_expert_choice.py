@@ -1,0 +1,127 @@
+"""Expert-choice routing (beyond-reference; the reference has only
+token-choice gates — tutel/gates/). Oracle-tested in the reference's
+CPU-numerics style."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tutel_tpu import moe
+from tutel_tpu.ops import expert_choice as ec_ops
+
+
+def _layer(cf=2.0, experts=4, model_dim=32, hidden=64):
+    return moe.moe_layer(
+        gate_type={"type": "expert_choice", "capacity_factor": cf,
+                   "gate_noise": 0.0},
+        experts={"type": "ffn", "num_experts_per_device": experts,
+                 "hidden_size_per_expert": hidden},
+        model_dim=model_dim, seeds=(1, 1, 1), group=jax.devices()[:1])
+
+
+def test_ec_layer_matches_numpy_oracle():
+    layer = _layer()
+    params = layer.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 32))
+    out, zl = layer(params, x)
+
+    wg = np.asarray(params["gates"][0]["wg"])
+    w1 = np.asarray(params["experts"]["fc1_w"], np.float32)
+    w2 = np.asarray(params["experts"]["fc2_w"], np.float32)
+    b1 = np.asarray(params["experts"]["fc1_b"])
+    b2 = np.asarray(params["experts"]["fc2_b"])
+    xn = np.asarray(x, np.float32)
+    logits = xn @ wg
+    scores = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    C = int(2.0 * 64 / 4)
+    outn = np.zeros_like(xn)
+    for e in range(4):
+        order = np.argsort(-scores[:, e], kind="stable")[:C]
+        h = np.maximum(xn[order] @ w1[e] + b1[e], 0)
+        y = h @ w2[e] + b2[e]
+        for c, t in enumerate(order):
+            outn[t] += scores[t, e] * y[c]
+    np.testing.assert_allclose(np.asarray(out), outn, atol=2e-5)
+
+    # z-loss oracle
+    z = (np.log(np.exp(logits).sum(1)) ** 2).mean()
+    np.testing.assert_allclose(float(zl), z, rtol=1e-5)
+
+
+def test_ec_balanced_by_construction():
+    """Every expert processes exactly C tokens — no drops, no overflow,
+    regardless of routing skew (the point of EC)."""
+    s, e, cap = 48, 4, 24
+    # pathological scores: every token prefers expert 0
+    scores = jnp.concatenate(
+        [jnp.ones((s, 1)) * 0.9, jnp.ones((s, e - 1)) * 0.1 / (e - 1)],
+        axis=1)
+    ec = ec_ops.expert_choice_routing(scores, cap)
+    assert ec.indices.shape == (e, cap)
+    # each expert's slots are distinct tokens
+    for row in np.asarray(ec.indices):
+        assert len(set(row.tolist())) == cap
+
+
+def test_ec_token_mask_masks():
+    s, e, cap = 16, 2, 8
+    scores = jax.nn.softmax(
+        jax.random.normal(jax.random.PRNGKey(0), (s, e)), axis=1)
+    mask = jnp.arange(s) < 10
+    ec = ec_ops.expert_choice_routing(scores, cap, token_mask=mask)
+    # masked tokens are never selected
+    assert int(jnp.max(ec.indices)) < 10
+    x = jax.random.normal(jax.random.PRNGKey(1), (s, 4))
+    y = ec_ops.ec_encode(x, ec)
+    out = ec_ops.ec_decode(y, ec, s)
+    np.testing.assert_array_equal(np.asarray(out[10:]), 0.0)
+
+
+def test_ec_capacity_clamps_to_tokens():
+    layer = _layer(cf=100.0)
+    params = layer.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 32))
+    out, _ = layer(params, x)          # C would be 400; clamps to 16
+    assert out.shape == (16, 32)
+
+
+def test_ec_training_grads():
+    layer = _layer()
+    params = layer.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 32))
+
+    def loss(p):
+        o, z = layer(p, x, training=True)
+        return jnp.mean(o ** 2) + 0.001 * z
+
+    g = jax.grad(loss)(params)
+    for leaf in jax.tree.leaves(g):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+    assert float(jnp.linalg.norm(g["gates"][0]["wg"])) > 0
+
+
+def test_ec_quantized_experts():
+    from tutel_tpu.ops import quant
+
+    layer = _layer()
+    params = layer.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 32))
+    ref, _ = layer(params, x)
+    qp = dict(params)
+    qp["experts"] = quant.quantize_expert_params(params["experts"],
+                                                 bits=8)
+    out, _ = layer(qp, x)
+    rel = float(jnp.linalg.norm(out - ref) / (jnp.linalg.norm(ref) + 1e-9))
+    assert rel < 0.05, rel
+
+
+def test_ec_rejects_multi_device():
+    with pytest.raises(AssertionError, match="single-program"):
+        layer = moe.moe_layer(
+            gate_type={"type": "expert_choice", "capacity_factor": 2.0},
+            experts={"type": "ffn", "num_experts_per_device": 1,
+                     "hidden_size_per_expert": 16},
+            model_dim=16, seeds=(1, 1, 1), group=jax.devices()[:8])
+        params = layer.init(jax.random.PRNGKey(0))
+        layer(params, jnp.zeros((64, 16)))

@@ -6,10 +6,12 @@ mirroring the reference's importlib-by-name protocol.
 
 from . import top  # noqa: F401
 from . import cosine_top  # noqa: F401
+from . import expert_choice  # noqa: F401
 
 _REGISTRY = {
     "top": top.Gate,
     "cosine_top": cosine_top.Gate,
+    "expert_choice": expert_choice.Gate,
 }
 
 

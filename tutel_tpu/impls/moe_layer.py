@@ -67,6 +67,7 @@ class _VariantCfg:
     has_valid: bool = False          # per-shard valid-token masking
     ragged_max_recv: int = 0         # >0: true-dropless ragged EP path
     dense_dispatch: bool = False     # top_k == E degenerate-routing path
+    expert_choice: bool = False      # experts-pick-tokens routing (EC)
 
 
 class MOELayer:
@@ -478,7 +479,25 @@ class MOELayer:
 
         # --- resolve static capacity -----------------------------------
         alignment = self._alignment(overlap_degree, megablocks_size)
-        if capacity_override is not None:
+        ec_mode = bool(getattr(gate, "expert_choice", False))
+        if ec_mode:
+            # Expert-choice: capacity_factor is the average number of
+            # experts per token, so C = cf * S / E; balanced by
+            # construction (ops/expert_choice.py). Per-shard selection
+            # only — the EC top-C would need a cross-device score
+            # gather under EP.
+            assert self.world_size == 1 and not use_ragged_ep, (
+                "expert-choice routing is a single-program (per-shard) "
+                "selection; run it with world_size == 1")
+            if capacity_override is not None:
+                cap = int(capacity_override)
+            else:
+                assert cf > 0, "expert-choice needs capacity_factor > 0"
+                cap = max(1, int(cf * num_samples
+                                 / self.num_global_experts))
+            capacity = min(routing_ops.align_capacity(cap, alignment),
+                           num_samples)
+        elif capacity_override is not None:
             capacity = routing_ops.align_capacity(
                 int(capacity_override), alignment)
         elif cf > 0:
@@ -500,10 +519,12 @@ class MOELayer:
                 capacity = min(capacity, routing_ops.capped_capacity_limit(
                     local_samples, self.num_global_experts, top_k, cf))
             capacity = routing_ops.align_capacity(capacity, alignment)
-        capacity = min(capacity,
-                       routing_ops.align_capacity(
-                           top_k * local_samples,
-                           self._alignment(overlap_degree, megablocks_size)))
+        if not ec_mode:
+            capacity = min(capacity,
+                           routing_ops.align_capacity(
+                               top_k * local_samples,
+                               self._alignment(overlap_degree,
+                                               megablocks_size)))
 
         if self.auto_parallel and adaptive_r is None \
                 and self.sharded_count > 1:
@@ -560,6 +581,7 @@ class MOELayer:
         # under EP the a2a needs the slot layout.
         dense_dispatch = (
             self.world_size == 1
+            and not ec_mode
             and top_k == self.num_global_experts
             and capacity >= local_samples
             and megablocks_size == 0
@@ -574,7 +596,8 @@ class MOELayer:
             a2a_dtype=self.a2a_dtype,
             has_valid=valid_tokens is not None,
             ragged_max_recv=ragged_max_recv,
-            dense_dispatch=dense_dispatch)
+            dense_dispatch=dense_dispatch,
+            expert_choice=ec_mode)
 
         fn = self._jit_cache.get(cfg)
         if fn is None:
@@ -849,6 +872,34 @@ class MOELayer:
             if valid is not None:
                 token_mask = jnp.arange(
                     x_local.shape[0], dtype=jnp.int32) < valid[0]
+            if cfg.expert_choice:
+                # experts-pick-tokens flow (ops/expert_choice.py):
+                # top-C gather -> expert FFN -> scatter combine; the
+                # auxiliary is the router z-loss (load is balanced by
+                # construction)
+                from ..ops import expert_choice as ec_ops
+                gate = self.gates[cfg.gate_index]
+                logits = gate.apply(gate_params, x_local)
+                if cfg.training and gate.gate_noise > 0:
+                    noise = jax.random.normal(local_key, logits.shape,
+                                              dtype=logits.dtype)
+                    logits = logits + gate.gate_noise * noise / e_global
+                scores = jax.nn.softmax(logits, axis=1)
+                ec = ec_ops.expert_choice_routing(
+                    scores, cfg.capacity, token_mask)
+                y = ec_ops.ec_encode(x_local, ec, self.is_postscore)
+                ctx = SimpleNamespace(
+                    megablocks_size=0,
+                    dispatch_count=jnp.full((e_global,), cfg.capacity,
+                                            jnp.int32),
+                    adaptive_degree=1, sharded_count=self.sharded_count,
+                    num_global_experts=e_global,
+                    platform=self.devices[0].platform)
+                y = self._apply_experts(expert_params, y, ctx)
+                out = ec_ops.ec_decode(y, ec, x_local.shape[0],
+                                       self.is_postscore)
+                return out, ec_ops.router_z_loss(logits, token_mask)
+
             crit, l_aux = self._routing_local(
                 cfg, gate_params, x_local, local_key, token_mask)
             ctx = self._expert_ctx(cfg, crit)
