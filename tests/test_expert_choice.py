@@ -116,6 +116,24 @@ def test_ec_quantized_experts():
     assert rel < 0.05, rel
 
 
+def test_ec_transformer_model():
+    """The EC gate composes into the Transformer-MoE model family via
+    gate_type='expert_choice' (trains; finite grads)."""
+    from tutel_tpu.models import TransformerMoE, TransformerMoEConfig
+
+    cfg = TransformerMoEConfig(
+        vocab_size=61, max_len=32, model_dim=32, num_heads=2,
+        num_layers=2, ffn_hidden=64, moe_every=1, num_local_experts=4,
+        top_k=2, expert_hidden=64, gate_type="expert_choice")
+    model = TransformerMoE(cfg, group=jax.devices()[:1])
+    params = model.init(jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 32), 0, 61)
+    g = jax.grad(
+        lambda p: model.loss(p, tokens, training=True)[0])(params)
+    for leaf in jax.tree.leaves(g):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
 def test_ec_rejects_multi_device():
     with pytest.raises(AssertionError, match="single-program"):
         layer = moe.moe_layer(

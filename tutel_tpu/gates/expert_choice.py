@@ -25,7 +25,9 @@ class ExpertChoiceGate:
     capacity_factor: float = 2.0     # avg experts-per-token (C*E/S)
     fp32_gate: bool = False
     gate_noise: float = 0.0
-    expert_choice = True
+    k: int = 1                       # accepted for model-config compat;
+                                     # the EC selection ignores it
+    expert_choice = True             # switches MOELayer to the EC flow
     top_k = 1                        # protocol filler; unused in EC
 
     def init(self, key, dtype=jnp.float32) -> Dict[str, Any]:

@@ -13,3 +13,5 @@ def top_k_routing(scores, top_k, capacity, **kwargs):
 
 from .ops.routing import cumsum_sub_one as fast_cumsum_sub_one  # noqa: F401,E402
 from .ops.dispatch import fast_dispatcher, TutelMoeFastDispatcher  # noqa: F401,E402
+from .ops.expert_choice import (  # noqa: F401,E402
+    expert_choice_routing, ec_encode, ec_decode, router_z_loss)
