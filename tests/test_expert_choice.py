@@ -134,12 +134,45 @@ def test_ec_transformer_model():
         assert bool(jnp.all(jnp.isfinite(leaf)))
 
 
-def test_ec_rejects_multi_device():
-    with pytest.raises(AssertionError, match="single-program"):
+def test_ec_ep_matches_single_device():
+    """EC under pure EP: local experts select from the GLOBAL token
+    pool (score+activation all_gather, reduce-scatter combine) — the
+    8-device result equals the single-device math exactly."""
+    def make(n):
+        return moe.moe_layer(
+            gate_type={"type": "expert_choice", "capacity_factor": 2.0,
+                       "gate_noise": 0.0},
+            experts={"type": "ffn", "num_experts_per_device": 8 // n,
+                     "hidden_size_per_expert": 64},
+            model_dim=32, seeds=(1, 1, 1), group=jax.devices()[:n])
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 32))
+    l1 = make(1)
+    params = l1.init(jax.random.PRNGKey(0))
+    ref, zl1 = l1(params, x)
+    l8 = make(8)
+    out, zl8 = l8(l8.shard_params(params), x)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(out)),
+        np.asarray(jax.device_get(ref)), atol=2e-5)
+    np.testing.assert_allclose(float(zl8), float(zl1), rtol=1e-6)
+
+    def loss(p):
+        o, z = l8(p, x, training=True)
+        return jnp.mean(o ** 2) + 0.001 * z
+
+    g = jax.grad(loss)(l8.shard_params(params))
+    for leaf in jax.tree.leaves(g):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+def test_ec_rejects_tp_layout():
+    with pytest.raises(AssertionError, match="pure-EP"):
         layer = moe.moe_layer(
             gate_type={"type": "expert_choice", "capacity_factor": 2.0},
-            experts={"type": "ffn", "num_experts_per_device": 1,
+            experts={"type": "ffn", "num_experts_per_device": -2,
                      "hidden_size_per_expert": 16},
-            model_dim=16, seeds=(1, 1, 1), group=jax.devices()[:8])
+            model_dim=16, seeds=(1, 1, 1), parallel_type="model",
+            group=jax.devices()[:8])
         params = layer.init(jax.random.PRNGKey(0))
         layer(params, jnp.zeros((64, 16)))

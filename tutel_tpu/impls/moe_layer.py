@@ -483,12 +483,16 @@ class MOELayer:
         if ec_mode:
             # Expert-choice: capacity_factor is the average number of
             # experts per token, so C = cf * S / E; balanced by
-            # construction (ops/expert_choice.py). Per-shard selection
-            # only — the EC top-C would need a cross-device score
-            # gather under EP.
-            assert self.world_size == 1 and not use_ragged_ep, (
-                "expert-choice routing is a single-program (per-shard) "
-                "selection; run it with world_size == 1")
+            # construction (ops/expert_choice.py). Under EP the top-C
+            # sees the global token pool via an all_gather of scores
+            # and activations (pure-EP layouts only).
+            assert not use_ragged_ep and (
+                self.world_size == 1
+                or (self.sharded_count == 1 and not self._flat_2dh()
+                    and valid_tokens is None)), (
+                "expert-choice routing is a single-program selection "
+                "over the token pool; multi-device needs a pure-EP "
+                "layout (sharded_count == 1, no 2DH, no valid_tokens)")
             if capacity_override is not None:
                 cap = int(capacity_override)
             else:
@@ -885,20 +889,51 @@ class MOELayer:
                                               dtype=logits.dtype)
                     logits = logits + gate.gate_noise * noise / e_global
                 scores = jax.nn.softmax(logits, axis=1)
-                ec = ec_ops.expert_choice_routing(
-                    scores, cfg.capacity, token_mask)
-                y = ec_ops.ec_encode(x_local, ec, self.is_postscore)
                 ctx = SimpleNamespace(
                     megablocks_size=0,
-                    dispatch_count=jnp.full((e_global,), cfg.capacity,
-                                            jnp.int32),
+                    dispatch_count=jnp.full(
+                        (e_global // max(w, 1) if w > 1 else e_global,),
+                        cfg.capacity, jnp.int32),
                     adaptive_degree=1, sharded_count=self.sharded_count,
                     num_global_experts=e_global,
                     platform=self.devices[0].platform)
+                if w == 1:
+                    ec = ec_ops.expert_choice_routing(
+                        scores, cfg.capacity, token_mask)
+                    y = ec_ops.ec_encode(x_local, ec, self.is_postscore)
+                    y = self._apply_experts(expert_params, y, ctx)
+                    out = ec_ops.ec_decode(y, ec, x_local.shape[0],
+                                           self.is_postscore)
+                    return out, ec_ops.router_z_loss(logits, token_mask)
+
+                # EP: the EC top-C must see every token, so gather the
+                # (small) score matrix and the activations across the
+                # expert axes, let the local experts select from the
+                # GLOBAL token pool, and reduce-scatter the combined
+                # outputs back to each token's owner. Wire cost is
+                # all_gather(x) + reduce_scatter(out) — the EC analogue
+                # of token-choice's two all-to-alls.
+                e_local = e_global // w
+                sc_g = lax.all_gather(scores, ep_axes, axis=0,
+                                      tiled=True)
+                x_g = lax.all_gather(x_local, ep_axes, axis=0,
+                                     tiled=True)
+                ec = ec_ops.expert_choice_routing(sc_g, cfg.capacity)
+                sl = idx * e_local
+                ec_local = ec_ops.ECRouting(
+                    indices=lax.dynamic_slice_in_dim(
+                        ec.indices, sl, e_local, 0),
+                    gates=lax.dynamic_slice_in_dim(
+                        ec.gates, sl, e_local, 0),
+                    capacity=ec.capacity)
+                y = ec_ops.ec_encode(x_g, ec_local, self.is_postscore)
                 y = self._apply_experts(expert_params, y, ctx)
-                out = ec_ops.ec_decode(y, ec, x_local.shape[0],
-                                       self.is_postscore)
-                return out, ec_ops.router_z_loss(logits, token_mask)
+                partial = ec_ops.ec_decode(y, ec_local, x_g.shape[0],
+                                           self.is_postscore)
+                out = lax.psum_scatter(partial, ep_axes,
+                                       scatter_dimension=0, tiled=True)
+                return out, lax.pmean(
+                    ec_ops.router_z_loss(logits, token_mask), ep_axes)
 
             crit, l_aux = self._routing_local(
                 cfg, gate_params, x_local, local_key, token_mask)
