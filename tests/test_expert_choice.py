@@ -78,6 +78,38 @@ def test_ec_token_mask_masks():
     np.testing.assert_array_equal(np.asarray(out[10:]), 0.0)
 
 
+def test_ec_prescore_masked_tokens_get_zero():
+    """Review regression: with is_postscore=False and a token mask,
+    dead slots (gate == 0) must not scatter the expert's bias rows to
+    arbitrary tokens."""
+    s, e_n, cap, m = 16, 2, 16, 4
+    scores = jax.nn.softmax(
+        jax.random.normal(jax.random.PRNGKey(0), (s, e_n)), axis=1)
+    mask = jnp.arange(s) < 6
+    ec = ec_ops.expert_choice_routing(scores, cap, token_mask=mask)
+    x = jax.random.normal(jax.random.PRNGKey(1), (s, m))
+    y = ec_ops.ec_encode(x, ec, is_postscore=False)
+    # a biased "expert": maps zero rows to a nonzero constant
+    y = y + 0.37
+    out = ec_ops.ec_decode(y, ec, s, is_postscore=False)
+    np.testing.assert_array_equal(np.asarray(out[6:]), 0.0)
+
+
+def test_ec_local_forward_runs_ec():
+    """Review regression: local_forward on an EC-gated layer must run
+    the EC flow (it used to silently fall back to token-choice)."""
+    layer = _layer()
+    params = layer.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 32))
+    key = jax.random.PRNGKey(0)
+    ref, zl_ref = layer(params, x, key=key)
+    local = layer.local_forward(capacity_factor=2.0)
+    out, zl = local(params, x, key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)
+    np.testing.assert_allclose(float(zl), float(zl_ref), rtol=1e-6)
+
+
 def test_ec_capacity_clamps_to_tokens():
     layer = _layer(cf=100.0)
     params = layer.init(jax.random.PRNGKey(0))

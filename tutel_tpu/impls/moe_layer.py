@@ -680,19 +680,36 @@ class MOELayer:
         assert r in self.valid_rs, (r, self.valid_rs)
         overlap = self.a2a_ffn_overlap_degree
 
+        ec_mode = bool(getattr(gate, "expert_choice", False))
+
         def fn(params, x_local, key):
             local_samples = x_local.shape[0]
-            if capacity_override is not None:
+            align = self._alignment(overlap, 0)
+            if ec_mode:
+                # EC capacity: cf = avg experts per token over the
+                # GLOBAL token pool (the EP branch of the body gathers
+                # scores/activations across the expert axes)
+                num_samples = local_samples * self.world_size
+                if capacity_override is not None:
+                    cap = int(capacity_override)
+                else:
+                    assert cf > 0, "expert-choice needs capacity_factor > 0"
+                    cap = max(1, int(cf * num_samples
+                                     / self.num_global_experts))
+                capacity = min(routing_ops.align_capacity(cap, align),
+                               num_samples)
+            elif capacity_override is not None:
                 capacity = routing_ops.align_capacity(
-                    int(capacity_override), self._alignment(overlap, 0))
+                    int(capacity_override), align)
             else:
                 assert cf > 0, (
                     "local_forward needs a static capacity: pass "
                     "capacity_factor > 0 or capacity_override")
                 capacity = self._static_capacity(
                     local_samples, tk, cf, overlap, 0)
-            capacity = min(capacity, routing_ops.align_capacity(
-                tk * local_samples, self._alignment(overlap, 0)))
+            if not ec_mode:
+                capacity = min(capacity, routing_ops.align_capacity(
+                    tk * local_samples, align))
             cfg = _VariantCfg(
                 gate_index=gate_index, top_k=tk, capacity=capacity,
                 adaptive_r=r, overlap_degree=overlap,
@@ -700,7 +717,8 @@ class MOELayer:
                 use_2dh=self._flat_2dh(),
                 batch_prioritized=self.batch_prioritized_routing,
                 a2a_dtype=self.a2a_dtype, has_valid=False,
-                ragged_max_recv=0, dense_dispatch=False)
+                ragged_max_recv=0, dense_dispatch=False,
+                expert_choice=ec_mode)
             body = self._build_body(cfg)
             return body(params["gates"][gate_index], params["experts"],
                         x_local.astype(self.dtype), key)

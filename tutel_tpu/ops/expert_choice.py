@@ -73,6 +73,12 @@ def ec_decode(y, ec: ECRouting, num_tokens, is_postscore=True):
     """[E, C, M] expert outputs -> [S, M] combined (scatter-add)."""
     if is_postscore:
         y = y * ec.gates[..., None].astype(y.dtype)
+    else:
+        # prescore zeroed the INPUT rows of dead slots (gate == 0 —
+        # masked tokens, or softmax underflow), but a biased expert
+        # maps zero input to nonzero output; mask the contribution so
+        # dead slots don't scatter bias rows to arbitrary tokens
+        y = y * (ec.gates[..., None] != 0).astype(y.dtype)
     flat_idx = ec.indices.reshape(-1)
     flat_y = y.reshape(-1, y.shape[-1])
     out = jnp.zeros((num_tokens, y.shape[-1]), y.dtype)

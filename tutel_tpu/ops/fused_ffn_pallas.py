@@ -94,7 +94,6 @@ def prepare_fused_ffn(fc1: QuantizedWeight, fc2: QuantizedWeight,
     e2, h2, n = fc2.shape
     if e != e2 or h != h2 or h < k:
         return None
-    kq = fc1.values.shape[1]       # packed rows of fc1 (K or K/2)
     kr = fc2.values.shape[1]       # packed rows of fc2 (H or H/2) == Kr
     if bw is None:
         for cand in (2048, 1024, 512, 256, 128):
@@ -172,21 +171,14 @@ def _fused_kernel(counts_ref, x_ref, w_ref, sb_ref, o_ref, h_sc, *,
     nch = bw // chunk
 
     def do_tile(t, src, emit):
+        # f32 accumulate + scale + bias; the emitters apply the
+        # activation (still in f32 — Mosaic rejects some
+        # transcendental lowerings on bf16 vectors) and cast at store
         for j in range(nch):
-            wq = w_ref[0, t, :, j * chunk:(j + 1) * chunk]
-            if bits == 4:
-                # int32-domain nibble unpack (Mosaic rejects i8/i16
-                # shifts); split-half packing order means plain concat
-                v = wq.astype(jnp.int32)
-                q = jnp.concatenate([(v << 28) >> 28, v >> 4],
-                                    axis=0).astype(jnp.bfloat16)
-            else:
-                q = wq.astype(jnp.bfloat16)
+            q = _unpack(w_ref[0, t, :, j * chunk:(j + 1) * chunk], bits)
             acc = jnp.dot(src, q, preferred_element_type=jnp.float32)
-            sl = (0, t, 0, pl.ds(j * chunk, chunk))
-            y = (acc * sb_ref[sl][None, :]).astype(out_dtype)
-            y = y + sb_ref[0, t, 1, pl.ds(j * chunk, chunk)].astype(
-                out_dtype)[None, :]
+            y = acc * sb_ref[0, t, 0, pl.ds(j * chunk, chunk)][None, :]
+            y = y + sb_ref[0, t, 1, pl.ds(j * chunk, chunk)][None, :]
             emit(t * bw + j * chunk, y)
 
     @pl.when(count > 0)
@@ -204,7 +196,8 @@ def _fused_kernel(counts_ref, x_ref, w_ref, sb_ref, o_ref, h_sc, *,
     for t in range(t1, t1 + t2):
         do_tile(t, h_sc[...],
                 lambda off, y: o_ref.__setitem__(
-                    (0, slice(None), pl.ds(off - t1 * bw, chunk)), y))
+                    (0, slice(None), pl.ds(off - t1 * bw, chunk)),
+                    y.astype(out_dtype)))
 
 
 def fused_ffn_quant(x, stream: FusedFFNStream, counts=None,
@@ -228,21 +221,7 @@ def fused_ffn_quant(x, stream: FusedFFNStream, counts=None,
     pack = 2 if bits == 4 else 1
     sub = 16 if x.dtype == jnp.bfloat16 else 8
     cp = -(-c // sub) * sub
-
-    # lay x out to match the unpacked fc1 row order: split-half halves
-    # each zero-padded from Kq to Kr (identity when K == H)
-    kq = k // pack
-    if kr > kq:
-        if bits == 4:
-            z = jnp.zeros((e, c, kr - kq), x.dtype)
-            xp = jnp.concatenate([x[:, :, :kq], z, x[:, :, kq:], z],
-                                 axis=2)
-        else:
-            xp = jnp.pad(x, ((0, 0), (0, 0), (0, kr - k)))
-    else:
-        xp = x
-    if cp > c:
-        xp = jnp.pad(xp, ((0, 0), (0, cp - c), (0, 0)))
+    xp = _relayout_x(x, bits, kr, cp)
     xw = pack * kr
 
     chunk = chunk or int(os.environ.get("TUTEL_TPU_FUSED_CHUNK", "0")) \
@@ -350,6 +329,27 @@ def _unpack(wq, bits):
     return wq.astype(jnp.bfloat16)
 
 
+def _relayout_x(x, bits, kr, cp):
+    """Lay [E, C, K] activations out to match the unpacked weight row
+    order — split-half halves each zero-padded from Kq to Kr (identity
+    when K == H) — and pad rows to the cp sublane multiple."""
+    e, c, k = x.shape
+    pack = 2 if bits == 4 else 1
+    kq = k // pack
+    if kr > kq:
+        if bits == 4:
+            z = jnp.zeros((e, c, kr - kq), x.dtype)
+            xp = jnp.concatenate([x[:, :, :kq], z, x[:, :, kq:], z],
+                                 axis=2)
+        else:
+            xp = jnp.pad(x, ((0, 0), (0, 0), (0, kr - k)))
+    else:
+        xp = x
+    if cp > c:
+        xp = jnp.pad(xp, ((0, 0), (0, cp - c), (0, 0)))
+    return xp
+
+
 def _swiglu_kernel(counts_ref, x_ref, w_ref, sb_ref, o_ref, h_sc, *,
                    bits, t1, bw, act, out_dtype):
     e = pl.program_id(0)
@@ -400,19 +400,7 @@ def fused_swiglu_quant(x, stream: FusedFFNStream, counts=None,
     pack = 2 if bits == 4 else 1
     sub = 16 if x.dtype == jnp.bfloat16 else 8
     cp = -(-c // sub) * sub
-
-    kq = k // pack
-    if kr > kq:
-        if bits == 4:
-            z = jnp.zeros((e, c, kr - kq), x.dtype)
-            xp = jnp.concatenate([x[:, :, :kq], z, x[:, :, kq:], z],
-                                 axis=2)
-        else:
-            xp = jnp.pad(x, ((0, 0), (0, 0), (0, kr - k)))
-    else:
-        xp = x
-    if cp > c:
-        xp = jnp.pad(xp, ((0, 0), (0, cp - c), (0, 0)))
+    xp = _relayout_x(x, bits, kr, cp)
     xw = pack * kr
 
     kernel = functools.partial(

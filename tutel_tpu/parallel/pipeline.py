@@ -283,6 +283,13 @@ def pipeline_1f1b(stage_fn, loss_fn, num_stages, mesh, axis="pp",
       loss = mean_micro loss_fn(y_m) + mean_micro sum_stage aux  (the
       same total `pipeline(...)` + jax.grad differentiates);
       grads: pytree like stacked_params (stage-sharded over `axis`).
+
+    With `data_spec`, loss_fn sees each TOKEN SHARD of a microbatch
+    and the shard losses are SUMMED — write loss_fn additive over rows
+    (a token-sum, like summed cross-entropy; divide by the global
+    token count inside it for mean semantics). A mean-style loss_fn
+    over the shard would be implicitly scaled by the number of data
+    shards. The gradients always match the loss actually returned.
     """
     if mesh.shape[axis] != num_stages:
         raise ValueError(
