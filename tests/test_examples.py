@@ -106,3 +106,27 @@ def test_pipeline_example_runs():
                     log=lambda *a, **k: None)
     assert len(losses) == 5
     assert losses[-1] < losses[0]
+
+
+def test_1f1b_example_runs():
+    """4-stage 1F1B MoE pipeline trains and the loss decreases
+    (beyond-reference; explicit interleaved schedule)."""
+    from tutel_tpu.examples import helloworld_1f1b as ex
+    losses = ex.run(ex.build_args(["--device", "cpu"]),
+                    log=lambda *a, **k: None)
+    assert len(losses) == 5
+    assert losses[-1] < losses[0]
+
+
+def test_expert_choice_example_runs():
+    """Expert-choice demo trains single-device and under 8-device EP
+    (beyond-reference routing mode)."""
+    from tutel_tpu.examples import helloworld_expert_choice as ex
+    losses = ex.run(ex.build_args(["--device", "cpu", "--num_steps", "8"]),
+                    log=lambda *a, **k: None)
+    assert losses[-1] < losses[0]
+    losses8 = ex.run(
+        ex.build_args(["--device", "cpu", "--num_devices", "8",
+                       "--num_steps", "8"]),
+        log=lambda *a, **k: None)
+    assert losses8[-1] < losses8[0]
