@@ -324,6 +324,24 @@ def test_tp_int4_regather_all_modes_agree():
                                rtol=2e-3, atol=2e-3)
 
 
+def test_tp_int4_wrong_packing_is_guarded():
+    """Review regression: INT4 weights quantized with the default
+    blocks=1 must refuse K-slicing under TP loudly — slicing a global
+    split-half packing would silently interleave nibble pairs."""
+    layer = moe.moe_layer(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 1.0},
+        experts={"type": "ffn", "num_experts_per_device": -2,
+                 "hidden_size_per_expert": 64},
+        model_dim=32, seeds=(1, 1, 1), parallel_type="model",
+        group=jax.devices()[:8])
+    params = layer.init(jax.random.PRNGKey(0))
+    qp = dict(params)
+    qp["experts"] = quant.quantize_expert_params(
+        params["experts"], bits=4)          # missing sharded_count!
+    with pytest.raises(ValueError, match="shard_blocks"):
+        layer.shard_params(qp)
+
+
 def test_grouped_gemm_quant_block_packed():
     """Kernel-level: blocks>1 split-half packing (TP-regathered K
     slices) unpacks block-aware and matches the dequantized dense."""

@@ -52,11 +52,19 @@ def _time_chained(step: Callable, init, iters: int) -> float:
 
     force(run(init))
     # perturb the timed call's input: a repeated identical
-    # (executable, args) pair may be served from an execution cache
-    init2 = jax.tree.map(
-        lambda t: t + jnp.ones((), t.dtype)
-        if getattr(t, "ndim", None) == 0 and jnp.issubdtype(
-            getattr(t, "dtype", jnp.float32), jnp.floating) else t, init)
+    # (executable, args) pair may be served from an execution cache.
+    # Perturb ONE floating leaf (any rank) — a scalar-only rule would
+    # silently no-op for carries without scalar floats.
+    done = [False]
+
+    def bump(t):
+        if not done[0] and jnp.issubdtype(
+                getattr(t, "dtype", jnp.int32), jnp.floating):
+            done[0] = True
+            return t + jnp.asarray(1e-12, t.dtype)
+        return t
+
+    init2 = jax.tree.map(bump, init)
     t0 = time.perf_counter()
     force(run(init2))
     return (time.perf_counter() - t0) / iters
@@ -186,7 +194,7 @@ def tune_moe(layer, params, x, key=None, candidates=None, iters: int = 5,
     if key is None:
         key = jax.random.PRNGKey(0)
     candidates = candidates if candidates is not None \
-        else moe_candidates(layer)
+        else moe_candidates(layer, training=training)
 
     # params travel in the loop carry so they are jit arguments, not
     # closed-over constants (big params embedded as HLO constants overflow

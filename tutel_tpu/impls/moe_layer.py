@@ -316,6 +316,7 @@ class MOELayer:
                     v, wstream=put(v.wstream, P(ep_axes)),
                     sb=put(v.sb, P(ep_axes)))
             spec = especs.get(k, (ep_axes,))
+            self._check_quant_sliceable(k, v, spec)
             if isinstance(v, QuantizedWeight):
                 # values carry the full spec; scales are [E, 1, N] — drop
                 # the shard axis on any size-1 dim (TP x quantized
@@ -790,6 +791,26 @@ class MOELayer:
             platform=self.devices[0].platform,
         )
 
+    def _check_quant_sliceable(self, name, v, spec):
+        """Slicing an INT4 weight's PACKED contraction dim (dim 1 of
+        [E, Kq, N] values) only commutes with nibble unpacking when the
+        packing was done per shard block (quantize(shard_blocks=
+        sharded_count)). Quantizing with the default blocks=1 and then
+        TP-slicing silently interleaves split-half pairs — guard it."""
+        from ..ops.quant import QuantizedWeight
+        if not isinstance(v, QuantizedWeight) or v.bits != 4 \
+                or self.sharded_count <= 1:
+            return
+        k_sliced = len(spec) > 1 and spec[1] is not None
+        if k_sliced and v.blocks != self.sharded_count:
+            raise ValueError(
+                f"INT4 expert weight {name!r} is K-sliced over "
+                f"sharded_count={self.sharded_count} but was packed "
+                f"with shard_blocks={v.blocks}; slicing would "
+                f"interleave nibble-packing halves. Quantize with "
+                f"quantize_expert_params(..., sharded_count="
+                f"{self.sharded_count}).")
+
     def _local_quant_view(self, expert_params):
         """Inside the shard_map body, K-sliced INT4 weights are plain
         split-half packings of their LOCAL K range (quantize packed
@@ -1068,6 +1089,7 @@ class MOELayer:
                     k=v.k, h=v.h, n=v.n, t1=v.t1, t2=v.t2, bw=v.bw,
                     kr=v.kr)
             spec = especs.get(k, (ep_axes,))
+            self._check_quant_sliceable(k, v, spec)
             if isinstance(v, QuantizedWeight):
                 # per-leaf specs: scales are [E, 1, N] — no shard axis on
                 # their size-1 dims (TP keeps K-sliced scales replicated)
@@ -1190,10 +1212,18 @@ class MOELayer:
         return fn
 
     def resolve_max_recv(self, params, x, key=None, gate_index=0,
-                         top_k=None, training=False, reserve_dims=1):
+                         top_k=None, training=False, reserve_dims=1,
+                         slack=1.0):
         """Host-side ragged-EP receive-bound query (bucketed to 128).
-        Use the result as `max_recv` inside an enclosing jit to keep the
-        ragged receive buffers tight without risking truncation."""
+
+        The probed bound is exact for THIS (params, x, key) routing.
+        Reusing it across steps is only safe while routing stays at
+        least as balanced as the probe — with gate noise, evolving
+        params, or different batches a later step can exceed it, and
+        rows past `max_recv` are silently dropped by the ragged
+        all-to-all. For cross-step reuse pass `slack` > 1 (the bound is
+        multiplied then re-bucketed, capped at the lossless worst
+        case), or re-probe periodically."""
         gate = self.gates[gate_index]
         top_k = min(int(top_k or gate.top_k), self.num_global_experts)
         flat_m = 1
@@ -1207,7 +1237,8 @@ class MOELayer:
         local_samples = x2.shape[0] // self.world_size
         worst = routing_ops.align_capacity(
             self.world_size * top_k * local_samples, 128)
-        return min(routing_ops.align_capacity(max(needed, 1), 128), worst)
+        needed = int(max(needed, 1) * max(slack, 1.0))
+        return min(routing_ops.align_capacity(needed, 128), worst)
 
     # ------------------------------------------------------------------
     # Checkpoint format (reference moe_layer.py:57-75)

@@ -74,10 +74,10 @@ def _reshard_cost(node: Node, have: int, need: int, world: int):
     if have == need:
         return 0.0
     if have == ZERO:
-        # gathered on use (all-gather of the flat param)
-        base = size * (world - 1) / world
-        return base + (0.0 if need == 0 else
-                       (0.0 if need == REPLICATED else size / world))
+        # gathered on use (all-gather of the flat param); after the
+        # gather the tensor is replicated, so slicing to ANY partition
+        # dim is free — the wire cost is the all-gather alone
+        return size * (world - 1) / world
     if have == REPLICATED and need != REPLICATED:
         return 0.0                       # SPLIT: local slice
     if have >= 0 and need == REPLICATED:

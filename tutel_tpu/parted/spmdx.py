@@ -200,7 +200,7 @@ def _spec_for(node: Node, state: int, axis: str):
     return P(*spec)
 
 
-def compile(outputs, config: Config, donate_params=False):
+def compile(outputs, config: Config):
     """Emit a runnable SPMD program for the chosen plan.
 
     Returns a Program: calling it evaluates the graph under jit with

@@ -143,8 +143,14 @@ class MoeDecodeEngine:
             return {}
         if key is None:
             key = jax.random.PRNGKey(self._step)
-        self._step += n_steps
         self._flush_admissions()
+        # never decode past the shortest remaining budget — a direct
+        # step_chunk caller would otherwise over-advance a request's
+        # state and retire it late (run() also clamps, defensively)
+        n_steps = max(1, min(
+            n_steps,
+            min(r.remaining for r in self._slots if r is not None)))
+        self._step += n_steps
 
         n_valid = self.active
         # pack active slots into the leading positions (static shapes;
@@ -238,7 +244,9 @@ class MoeDecodeEngine:
             if self.active == 0 and not pending:
                 break
             k = 1
-            if chunk > 1 and not (pending and self._free):
+            if chunk > 1:
+                # the admission loop above ran until no request could
+                # join, so multi-step scheduling is always safe here
                 k = min(chunk,
                         min(r.remaining for r in self._slots
                             if r is not None))
@@ -271,6 +279,10 @@ class LmDecodeEngine:
         self.params = params
         self.max_batch = int(max_batch)
         self.moe_overrides = dict(moe_overrides or {})
+        # the prefill/decode executable caches live on the shared model
+        # so engines reuse warm compiles — but the jitted closures bake
+        # in moe_overrides, so they must be part of the cache key
+        self._ov_key = tuple(sorted(self.moe_overrides.items()))
         self.cache = model.init_cache(self.max_batch)
         self._tok = jnp.zeros((self.max_batch,), jnp.int32)
         self._pos = jnp.zeros((self.max_batch,), jnp.int32)
@@ -308,7 +320,7 @@ class LmDecodeEngine:
         cache = getattr(self.model, "_serving_prefill_cache", None)
         if cache is None:
             cache = self.model._serving_prefill_cache = {}
-        fn = cache.get((tp, n))
+        fn = cache.get((tp, n, self._ov_key))
         if fn is None:
             model, ov = self.model, self.moe_overrides
 
@@ -319,7 +331,7 @@ class LmDecodeEngine:
                     group_cache
 
             fn = jax.jit(fn)
-            cache[(tp, n)] = fn
+            cache[(tp, n, self._ov_key)] = fn
         return fn
 
     def _flush_admissions(self):
@@ -357,7 +369,7 @@ class LmDecodeEngine:
         cache = getattr(self.model, "_serving_decode_cache", None)
         if cache is None:
             cache = self.model._serving_decode_cache = {}
-        fn = cache.get(n_steps)
+        fn = cache.get((n_steps, self._ov_key))
         if fn is None:
             model, ov = self.model, self.moe_overrides
 
@@ -374,7 +386,7 @@ class LmDecodeEngine:
                 return kv, tok, pos, toks
 
             fn = jax.jit(fn)
-            cache[n_steps] = fn
+            cache[(n_steps, self._ov_key)] = fn
         return fn
 
     def step_chunk(self, n_steps: int) -> Dict[Any, List[int]]:
