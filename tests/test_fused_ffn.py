@@ -138,6 +138,38 @@ def test_fused_stream_rides_ep_mesh():
         np.asarray(jax.device_get(out_plain)), atol=1e-4)
 
 
+def test_fused_stream_rides_ragged_ep():
+    """True-dropless ragged EP with a prepared stream: one relayout
+    pair + one kernel, equal to the two-call ragged path exactly."""
+    from tutel_tpu import moe
+    from tutel_tpu.ops import quant
+
+    devices = jax.devices()[:8]
+    layer = moe.moe_layer(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 0.0,
+                   "gate_noise": 0.0},
+        experts={"type": "ffn", "num_experts_per_device": 1,
+                 "hidden_size_per_expert": 128, "has_fc1_bias": False,
+                 "has_fc2_bias": False},
+        model_dim=64, seeds=(1, 1, 1), group=devices)
+    params = layer.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (128, 64))
+    qp = dict(params)
+    qp["experts"] = quant.quantize_expert_params(params["experts"],
+                                                 bits=4)
+    sp = layer.shard_params(qp)
+    bound = layer.resolve_max_recv(sp, x)
+    out_plain, _ = layer(sp, x, use_ragged_ep=True, max_recv=bound)
+
+    qp2 = dict(qp)
+    qp2["experts"] = fp.prepare_fused_ffn_params(qp["experts"])
+    sp2 = layer.shard_params(qp2)
+    out_fused, _ = layer(sp2, x, use_ragged_ep=True, max_recv=bound)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(out_fused)),
+        np.asarray(jax.device_get(out_plain)), atol=1e-4)
+
+
 def _ref_swiglu(x, q1, q2, q3):
     w1, w2, w3 = (dequantize(q).astype(x.dtype) for q in (q1, q2, q3))
     y1 = jnp.einsum("eck,ekh->ech", x, w1,

@@ -131,6 +131,18 @@ def _grouped_apply_ffn(self, params, rows, group_sizes, ctx=None):
             or jax.devices()[0].platform
         interpret = platform != "tpu"
         c_max = int(getattr(ctx, "ragged_c_max", 0) or rows.shape[0])
+
+        stream = params.get("fused_stream")
+        if stream is not None and stream.n >= self.output_dim:
+            from ..ops.fused_ffn_pallas import vmem_bytes
+            from ..ops.grouped_gemm_pallas import fused_ffn_quant_ragged
+            if vmem_bytes(stream, c_max, rows.dtype) \
+                    <= 15 * 1024 * 1024:
+                y = fused_ffn_quant_ragged(
+                    rows, stream, group_sizes, c_max,
+                    activation_fn=self.activation_fn,
+                    interpret=interpret)
+                return y[..., :self.output_dim]
         y = grouped_gemm_quant_ragged(rows, fc1_w, group_sizes, c_max,
                                       interpret=interpret)
         if params.get("fc1_b") is not None:

@@ -225,6 +225,41 @@ def quantized_ffn(x, params, ctx, activation_fn, output_dim,
     return y
 
 
+def _ragged_to_dense(rows, gs, starts, c_max):
+    """rows [N, K] grouped by expert -> dense [E, c_max, K] view.
+    dense[e, c] = rows[starts[e] + c] for c < gs[e] (else zero)."""
+    n = rows.shape[0]
+    e = gs.shape[0]
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (e, c_max), 1)
+    src = jnp.where(cidx < gs[:, None], starts[:, None] + cidx, n)
+    return jnp.take(rows, src.reshape(-1), axis=0, mode="fill",
+                    fill_value=0).reshape(e, c_max, rows.shape[-1])
+
+
+def _dense_to_ragged(y, gs, starts, c_max, n):
+    """dense [E, c_max, M] -> ragged rows [N, M] (inverse of
+    _ragged_to_dense); tail rows past sum(gs) are zero."""
+    e = gs.shape[0]
+    nout = y.shape[-1]
+    rid = jnp.arange(n, dtype=jnp.int32)
+    gid = jnp.sum(rid[:, None] >= jnp.cumsum(gs)[None, :],
+                  axis=1).astype(jnp.int32)
+    gid_c = jnp.clip(gid, 0, e - 1)
+    within = rid - starts[gid_c]
+    flat_src = jnp.where(
+        (rid < jnp.sum(gs)) & (within < c_max),
+        gid_c * c_max + within, e * c_max)
+    return jnp.take(y.reshape(e * c_max, nout), flat_src, axis=0,
+                    mode="fill", fill_value=0)
+
+
+def _ragged_starts(group_sizes):
+    gs = group_sizes.astype(jnp.int32)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(gs)[:-1]])
+    return gs, starts
+
+
 def grouped_gemm_quant_ragged(rows, qw: QuantizedWeight, group_sizes,
                               c_max, *, bn=None, interpret=False):
     """Quantized grouped GEMM over a *ragged* row layout.
@@ -237,33 +272,26 @@ def grouped_gemm_quant_ragged(rows, qw: QuantizedWeight, group_sizes,
     Tail rows past sum(group_sizes) are zero.
     """
     import os
-    n, k = rows.shape
-    e = group_sizes.shape[0]
-    gs = group_sizes.astype(jnp.int32)
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(gs)[:-1]])
+    n = rows.shape[0]
+    gs, starts = _ragged_starts(group_sizes)
     if bn is None:
         bn = int(os.environ.get("TUTEL_TPU_GMM_BN", "0")) or None
-
-    # dense[e, c] = rows[starts[e] + c] for c < gs[e] (else zero-fill)
-    eidx = jax.lax.broadcasted_iota(jnp.int32, (e, c_max), 0)
-    cidx = jax.lax.broadcasted_iota(jnp.int32, (e, c_max), 1)
-    src = jnp.where(cidx < gs[:, None], starts[:, None] + cidx, n)
-    dense = jnp.take(rows, src.reshape(-1), axis=0, mode="fill",
-                     fill_value=0).reshape(e, c_max, k)
-
+    dense = _ragged_to_dense(rows, gs, starts, c_max)
     y = grouped_gemm_quant(dense, qw, jnp.minimum(gs, c_max), bn=bn,
                            interpret=interpret)
-    nout = y.shape[-1]
+    return _dense_to_ragged(y, gs, starts, c_max, n)
 
-    # ragged_out[r] = y[gid(r), within(r)] for valid r
-    rid = jnp.arange(n, dtype=jnp.int32)
-    gid = jnp.sum(rid[:, None] >= jnp.cumsum(gs)[None, :],
-                  axis=1).astype(jnp.int32)
-    gid_c = jnp.clip(gid, 0, e - 1)
-    within = rid - starts[gid_c]
-    flat_src = jnp.where(
-        (rid < jnp.sum(gs)) & (within < c_max),
-        gid_c * c_max + within, e * c_max)
-    return jnp.take(y.reshape(e * c_max, nout), flat_src, axis=0,
-                    mode="fill", fill_value=0)
+
+def fused_ffn_quant_ragged(rows, stream, group_sizes, c_max,
+                           activation_fn, interpret=False):
+    """Whole FFN over the ragged layout through the single fused
+    kernel: ONE ragged->dense relayout, one kernel, one dense->ragged
+    relayout (the two-call ragged path pays two of each)."""
+    from .fused_ffn_pallas import fused_ffn_quant
+    n = rows.shape[0]
+    gs, starts = _ragged_starts(group_sizes)
+    dense = _ragged_to_dense(rows, gs, starts, c_max)
+    y = fused_ffn_quant(dense, stream, jnp.minimum(gs, c_max),
+                        activation_fn=activation_fn,
+                        interpret=interpret)
+    return _dense_to_ragged(y, gs, starts, c_max, n)
