@@ -32,6 +32,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _maybe_fuse_expert_stream(params):
+    """Prepare the single-kernel fused weight stream for quantized
+    expert params (ops/fused_ffn_pallas) — a one-time relayout the
+    engines do on behalf of the caller (auto_fuse=True). No-op when
+    the experts aren't quantized or the shapes don't qualify."""
+    try:
+        experts = params.get("experts") if isinstance(params, dict) \
+            else None
+    except AttributeError:
+        return params
+    if not isinstance(experts, dict) or "fused_stream" in experts:
+        return params
+    from .ops.quant import QuantizedWeight
+    if not any(isinstance(v, QuantizedWeight) for v in experts.values()):
+        return params
+    from .ops.fused_ffn_pallas import prepare_fused_ffn_params
+    fused = prepare_fused_ffn_params(experts)
+    if fused is experts:
+        return params
+    out = dict(params)
+    out["experts"] = fused
+    return out
+
+
 @dataclasses.dataclass
 class Request:
     uid: Any
@@ -50,8 +74,11 @@ class MoeDecodeEngine:
     """Continuous batching over a MOELayer-based decode step."""
 
     def __init__(self, layer, params, max_batch: int,
-                 top_k: Optional[int] = None, capacity_bucket: int = 8):
+                 top_k: Optional[int] = None, capacity_bucket: int = 8,
+                 auto_fuse: bool = True):
         self.layer = layer
+        if auto_fuse:
+            params = _maybe_fuse_expert_stream(params)
         self.params = params
         self.max_batch = int(max_batch)
         self.top_k = top_k
@@ -274,8 +301,16 @@ class LmDecodeEngine:
     """
 
     def __init__(self, model, params, max_batch: int,
-                 moe_overrides: Optional[dict] = None):
+                 moe_overrides: Optional[dict] = None,
+                 auto_fuse: bool = True):
         self.model = model
+        if auto_fuse and isinstance(params, dict) \
+                and isinstance(params.get("blocks"), list):
+            params = dict(params)
+            params["blocks"] = [
+                ({**blk, "moe": _maybe_fuse_expert_stream(blk["moe"])}
+                 if isinstance(blk, dict) and "moe" in blk else blk)
+                for blk in params["blocks"]]
         self.params = params
         self.max_batch = int(max_batch)
         self.moe_overrides = dict(moe_overrides or {})
