@@ -156,3 +156,28 @@ def test_lm_engine_continuous_batching():
                              ov)
         assert finals[r.uid].tolist() == want, (
             r.uid, finals[r.uid].tolist(), want)
+
+
+def test_engine_auto_fuses_quantized_params():
+    """The engine prepares the fused weight stream for quantized expert
+    params automatically (auto_fuse=True default; opt-out supported)."""
+    import numpy as np
+    from tutel_tpu.ops import quant
+
+    layer = moe.moe_layer(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 0.0},
+        experts={"type": "ffn", "num_experts_per_device": 4,
+                 "hidden_size_per_expert": 128, "has_fc1_bias": False,
+                 "has_fc2_bias": False},
+        model_dim=128, seeds=(1, 1, 1), group=jax.devices()[:1])
+    p = dict(layer.init(jax.random.PRNGKey(0)))
+    p["experts"] = quant.quantize_expert_params(p["experts"], bits=4)
+
+    eng = MoeDecodeEngine(layer, p, max_batch=8)
+    assert "fused_stream" in eng.params["experts"]
+    eng.try_add(Request(uid="a", state=np.zeros(128, np.float32),
+                        remaining=2))
+    assert list(eng.step()) == ["a"]
+
+    eng2 = MoeDecodeEngine(layer, p, max_batch=8, auto_fuse=False)
+    assert "fused_stream" not in eng2.params["experts"]
