@@ -181,3 +181,36 @@ def test_engine_auto_fuses_quantized_params():
 
     eng2 = MoeDecodeEngine(layer, p, max_batch=8, auto_fuse=False)
     assert "fused_stream" not in eng2.params["experts"]
+
+
+def test_engine_auto_fuse_skips_tp_layouts():
+    """Review regression: auto_fuse must not attach a fused stream to
+    expert-slicing TP layers (the stream holds full-H weights; TP sums
+    H/s partials) — and the layer guards a manual stream loudly."""
+    import pytest
+    from tutel_tpu.ops import quant
+    from tutel_tpu.ops.fused_ffn_pallas import prepare_fused_ffn_params
+
+    layer = moe.moe_layer(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 0.0},
+        experts={"type": "ffn", "num_experts_per_device": -2,
+                 "hidden_size_per_expert": 512, "has_fc1_bias": False,
+                 "has_fc2_bias": False},
+        model_dim=128, seeds=(1, 1, 1), parallel_type="model",
+        group=jax.devices()[:8])
+    p = dict(layer.init(jax.random.PRNGKey(0)))
+    p["experts"] = quant.quantize_expert_params(
+        p["experts"], bits=8)
+    sp = layer.shard_params(p)
+    eng = MoeDecodeEngine(layer, sp, max_batch=8)
+    assert "fused_stream" not in eng.params["experts"]
+    eng.try_add(Request(uid="a", state=np.zeros(128, np.float32),
+                        remaining=1))
+    assert list(eng.step()) == ["a"]
+
+    # a manually prepared stream is refused loudly under TP
+    p2 = dict(p)
+    p2["experts"] = prepare_fused_ffn_params(p["experts"])
+    if "fused_stream" in p2["experts"]:
+        with pytest.raises(ValueError, match="expert-slicing TP"):
+            layer.shard_params(p2)

@@ -61,7 +61,11 @@ def _time_chained(step: Callable, init, iters: int) -> float:
         if not done[0] and jnp.issubdtype(
                 getattr(t, "dtype", jnp.int32), jnp.floating):
             done[0] = True
-            return t + jnp.asarray(1e-12, t.dtype)
+            # the delta must survive rounding at the leaf's magnitude
+            # in any float dtype (a fixed tiny epsilon is a bitwise
+            # no-op for f32/bf16 values of ordinary size)
+            return t + jnp.maximum(jnp.abs(t), 1.0).astype(t.dtype) \
+                * jnp.asarray(1e-3, t.dtype)
         return t
 
     init2 = jax.tree.map(bump, init)

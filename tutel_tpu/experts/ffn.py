@@ -136,13 +136,17 @@ def _grouped_apply_ffn(self, params, rows, group_sizes, ctx=None):
         if stream is not None and stream.n >= self.output_dim:
             from ..ops.fused_ffn_pallas import vmem_bytes
             from ..ops.grouped_gemm_pallas import fused_ffn_quant_ragged
-            if vmem_bytes(stream, c_max, rows.dtype) \
-                    <= 15 * 1024 * 1024:
-                y = fused_ffn_quant_ragged(
-                    rows, stream, group_sizes, c_max,
-                    activation_fn=self.activation_fn,
-                    interpret=interpret)
-                return y[..., :self.output_dim]
+            # same chunk ladder as the dense path: the validated chunk
+            # is passed through so the kernel can't exceed the budget
+            for chunk in (512, 256, 128):
+                if stream.bw % chunk == 0 and \
+                        vmem_bytes(stream, c_max, rows.dtype, chunk) \
+                        <= 15 * 1024 * 1024:
+                    y = fused_ffn_quant_ragged(
+                        rows, stream, group_sizes, c_max,
+                        activation_fn=self.activation_fn,
+                        interpret=interpret, chunk=chunk)
+                    return y[..., :self.output_dim]
         y = grouped_gemm_quant_ragged(rows, fc1_w, group_sizes, c_max,
                                       interpret=interpret)
         if params.get("fc1_b") is not None:

@@ -312,6 +312,12 @@ class MOELayer:
             from ..ops.fused_ffn_pallas import FusedFFNStream
             if isinstance(v, FusedFFNStream):
                 import dataclasses
+                if self.sharded_count > 1:
+                    raise ValueError(
+                        "fused weight streams don't support "
+                        "expert-slicing TP (sharded_count="
+                        f"{self.sharded_count}); drop the "
+                        "'fused_stream' entry for TP layouts")
                 return dataclasses.replace(
                     v, wstream=put(v.wstream, P(ep_axes)),
                     sb=put(v.sb, P(ep_axes)))
@@ -1082,8 +1088,15 @@ class MOELayer:
             from ..ops.fused_ffn_pallas import FusedFFNStream
             if isinstance(v, FusedFFNStream):
                 # phase-packed weight stream: [E, T, Kr, bw] + sb —
-                # expert-dim sharded like any expert leaf (pure EP only;
-                # prepare_fused_ffn rejects TP block packing already)
+                # expert-dim sharded like any expert leaf. Pure EP
+                # only: the stream holds full-H weights, while TP
+                # devices compute H/s partial sums.
+                if self.sharded_count > 1:
+                    raise ValueError(
+                        "fused weight streams don't support "
+                        "expert-slicing TP (sharded_count="
+                        f"{self.sharded_count}); drop the "
+                        "'fused_stream' entry for TP layouts")
                 return FusedFFNStream(
                     wstream=P(ep_axes), sb=P(ep_axes), bits=v.bits,
                     k=v.k, h=v.h, n=v.n, t1=v.t1, t2=v.t2, bw=v.bw,

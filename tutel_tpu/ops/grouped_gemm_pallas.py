@@ -283,7 +283,7 @@ def grouped_gemm_quant_ragged(rows, qw: QuantizedWeight, group_sizes,
 
 
 def fused_ffn_quant_ragged(rows, stream, group_sizes, c_max,
-                           activation_fn, interpret=False):
+                           activation_fn, interpret=False, chunk=None):
     """Whole FFN over the ragged layout through the single fused
     kernel: ONE ragged->dense relayout, one kernel, one dense->ragged
     relayout (the two-call ragged path pays two of each)."""
@@ -293,5 +293,5 @@ def fused_ffn_quant_ragged(rows, stream, group_sizes, c_max,
     dense = _ragged_to_dense(rows, gs, starts, c_max)
     y = fused_ffn_quant(dense, stream, jnp.minimum(gs, c_max),
                         activation_fn=activation_fn,
-                        interpret=interpret)
+                        interpret=interpret, chunk=chunk)
     return _dense_to_ragged(y, gs, starts, c_max, n)

@@ -32,16 +32,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _maybe_fuse_expert_stream(params):
+def _maybe_fuse_expert_stream(params, layer=None):
     """Prepare the single-kernel fused weight stream for quantized
     expert params (ops/fused_ffn_pallas) — a one-time relayout the
     engines do on behalf of the caller (auto_fuse=True). No-op when
-    the experts aren't quantized or the shapes don't qualify."""
-    try:
-        experts = params.get("experts") if isinstance(params, dict) \
-            else None
-    except AttributeError:
+    the experts aren't quantized, the shapes don't qualify, or the
+    layer expert-slices its weights (the fused kernel holds full-H
+    streams; TP computes H/s partial sums — unsupported)."""
+    if layer is not None and getattr(layer, "sharded_count", 1) > 1:
         return params
+    experts = params.get("experts") if isinstance(params, dict) else None
     if not isinstance(experts, dict) or "fused_stream" in experts:
         return params
     from .ops.quant import QuantizedWeight
@@ -78,7 +78,7 @@ class MoeDecodeEngine:
                  auto_fuse: bool = True):
         self.layer = layer
         if auto_fuse:
-            params = _maybe_fuse_expert_stream(params)
+            params = _maybe_fuse_expert_stream(params, layer)
         self.params = params
         self.max_batch = int(max_batch)
         self.top_k = top_k
@@ -306,11 +306,13 @@ class LmDecodeEngine:
         self.model = model
         if auto_fuse and isinstance(params, dict) \
                 and isinstance(params.get("blocks"), list):
+            moe_layers = getattr(model, "moe_layers", {})
             params = dict(params)
             params["blocks"] = [
-                ({**blk, "moe": _maybe_fuse_expert_stream(blk["moe"])}
+                ({**blk, "moe": _maybe_fuse_expert_stream(
+                    blk["moe"], moe_layers.get(i))}
                  if isinstance(blk, dict) and "moe" in blk else blk)
-                for blk in params["blocks"]]
+                for i, blk in enumerate(params["blocks"])]
         self.params = params
         self.max_batch = int(max_batch)
         self.moe_overrides = dict(moe_overrides or {})
