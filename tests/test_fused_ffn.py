@@ -249,3 +249,51 @@ def test_quantized_ffn_uses_stream():
     mask = jnp.arange(c)[None, :, None] < Ctx.dispatch_count[:, None, None]
     assert float(jnp.max(jnp.where(
         mask, jnp.abs(out_fused - out_plain), 0))) < 1e-5
+
+
+def test_fused_stream_rides_2dh_mesh():
+    """2DH layouts shard the stream over ('dcn','ici') like any expert
+    leaf; the fused forward equals the two-call quantized 2DH forward."""
+    from tutel_tpu import moe
+    from tutel_tpu.ops import quant
+
+    layer = moe.moe_layer(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 1.5},
+        experts={"type": "ffn", "num_experts_per_device": 1,
+                 "hidden_size_per_expert": 128, "has_fc1_bias": False,
+                 "has_fc2_bias": False},
+        model_dim=64, seeds=(1, 1, 1), use_2dh=True, num_hosts=2,
+        group=jax.devices()[:8])
+    p = dict(layer.init(jax.random.PRNGKey(0)))
+    p["experts"] = quant.quantize_expert_params(p["experts"], bits=4)
+    x = jax.random.normal(jax.random.PRNGKey(1), (128, 64))
+    o1, _ = layer(layer.shard_params(p), x)
+    p2 = dict(p)
+    p2["experts"] = fp.prepare_fused_ffn_params(p["experts"])
+    o2, _ = layer(layer.shard_params(p2), x)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(o2)),
+        np.asarray(jax.device_get(o1)), atol=1e-4)
+
+
+def test_quantized_overlap_invariance():
+    """a2a/FFN overlap degree is output-invariant with quantized
+    experts (the chunked pipeline calls the quantized FFN per chunk)."""
+    from tutel_tpu import moe
+    from tutel_tpu.ops import quant
+
+    layer = moe.moe_layer(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 1.0},
+        experts={"type": "ffn", "num_experts_per_device": 1,
+                 "hidden_size_per_expert": 128, "has_fc1_bias": False,
+                 "has_fc2_bias": False},
+        model_dim=64, seeds=(1, 1, 1), group=jax.devices()[:8])
+    q = dict(layer.init(jax.random.PRNGKey(0)))
+    q["experts"] = quant.quantize_expert_params(q["experts"], bits=8)
+    sq = layer.shard_params(q)
+    x = jax.random.normal(jax.random.PRNGKey(1), (128, 64))
+    a, _ = layer(sq, x, a2a_ffn_overlap_degree=1)
+    b, _ = layer(sq, x, a2a_ffn_overlap_degree=2)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(a)),
+        np.asarray(jax.device_get(b)), atol=1e-4)
