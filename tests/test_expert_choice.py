@@ -208,3 +208,30 @@ def test_ec_rejects_tp_layout():
             group=jax.devices()[:8])
         params = layer.init(jax.random.PRNGKey(0))
         layer(params, jnp.zeros((64, 16)))
+
+
+def test_ec_fuzz_vs_numpy_oracle():
+    """Randomized shapes/capacities vs a direct NumPy realization of
+    the EC spec (selection, gather, weighted scatter)."""
+    rng = np.random.default_rng(0)
+    for trial in range(10):
+        s = int(rng.integers(8, 64))
+        e = int(rng.integers(2, 9))
+        cap = int(rng.integers(1, s + 1))
+        m = int(rng.integers(4, 17))
+        scores = jax.nn.softmax(jnp.asarray(
+            rng.standard_normal((s, e)), jnp.float32), axis=1)
+        x = jnp.asarray(rng.standard_normal((s, m)), jnp.float32)
+        ec = ec_ops.expert_choice_routing(scores, cap)
+        y = ec_ops.ec_encode(x, ec)
+        out = ec_ops.ec_decode(y, ec, s)
+
+        sn, xn = np.asarray(scores), np.asarray(x)
+        want = np.zeros_like(xn)
+        for ei in range(e):
+            order = np.argsort(-sn[:, ei], kind="stable")[:cap]
+            for t in order:
+                want[t] += sn[t, ei] * xn[t]
+        np.testing.assert_allclose(np.asarray(out), want, atol=1e-5,
+                                   err_msg=f"trial {trial} s={s} e={e} "
+                                           f"cap={cap}")
