@@ -297,3 +297,22 @@ def test_quantized_overlap_invariance():
     np.testing.assert_allclose(
         np.asarray(jax.device_get(a)),
         np.asarray(jax.device_get(b)), atol=1e-4)
+
+
+def test_state_dict_excludes_fused_stream():
+    """The stream is derived data: checkpoints must not carry it, and
+    load must work from a stream-free state dict."""
+    from tutel_tpu import moe
+    from tutel_tpu.ops import quant
+
+    layer = moe.moe_layer(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 1.0},
+        experts={"type": "ffn", "num_experts_per_device": 4,
+                 "hidden_size_per_expert": 128},
+        model_dim=128, seeds=(1, 1, 1), group=jax.devices()[:1])
+    p = dict(layer.init(jax.random.PRNGKey(0)))
+    p["experts"] = fp.prepare_fused_ffn_params(
+        quant.quantize_expert_params(p["experts"], bits=4))
+    assert "fused_stream" in p["experts"]
+    sd = layer.state_dict(p)
+    assert not any("fused" in k for k in sd)

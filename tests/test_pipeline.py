@@ -383,3 +383,39 @@ def test_pipeline_validates_shapes():
            jnp.zeros((10, dim)))
     with pytest.raises(ValueError, match="mesh axis"):
         pipeline(_mlp_stage, 3, _mesh(2), n_micro=2)
+
+
+def test_1f1b_data_parallel_tokens():
+    """PP x DP: tokens sharded over a 'd' axis within each stage row;
+    grads match the sequential token-sum reference (loss_fn must be
+    additive over rows — see the pipeline_1f1b docstring)."""
+    from jax.sharding import PartitionSpec as P
+
+    devs = np.array(jax.devices()).reshape(2, 4)
+    mesh = jax.sharding.Mesh(devs, ("pp", "d"))
+    n_stages, dim, hidden, n_micro = 2, 8, 16, 3
+    per_stage = _mlp_params(jax.random.PRNGKey(0), n_stages, dim, hidden)
+    stacked = stack_stage_params(per_stage)
+    x = jax.random.normal(jax.random.PRNGKey(1), (24, dim))
+
+    fn = pipeline_1f1b(_mlp_stage, _loss, n_stages, mesh,
+                       n_micro=n_micro, data_spec=P("d"),
+                       stage_param_specs={"w1": None, "w2": None})
+    loss1, g1 = jax.jit(fn)(stacked, x)
+
+    def loss_seq(sp):
+        per = [jax.tree.map(lambda l: l[i], sp) for i in range(n_stages)]
+        xm = x.reshape(n_micro, -1, dim)
+
+        def chain(xi):
+            for p in per:
+                xi = _mlp_stage(p, xi)
+            return xi
+        return jnp.mean(jax.vmap(lambda xi: _loss(chain(xi)))(xm))
+
+    loss2, g2 = jax.value_and_grad(loss_seq)(stacked)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b)),
+            rtol=2e-5, atol=2e-5), g1, g2)

@@ -1321,6 +1321,11 @@ class MOELayer:
                     yield f"gates.{gi}.{n}", p
         elif param_type == "local_experts":
             for n, p in params["experts"].items():
+                if n == "fused_stream":
+                    # derived data (phase-packed weight relayout,
+                    # ops/fused_ffn_pallas) — never checkpointed;
+                    # re-prepare after load
+                    continue
                 yield f"experts.{n}", p
         else:
             raise Exception(
