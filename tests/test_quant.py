@@ -213,6 +213,17 @@ def test_lm_perplexity_delta_trained():
         key, sk = jax.random.split(key)
         params, _ = train_step(params, train, sk)
 
+    # XLA CPU reductions are thread-order nondeterministic, so the
+    # trajectory shifts slightly run to run — extend training until
+    # the convergence gate holds rather than pinning a step count
+    for _extra in range(3):
+        _, (nll_ref, _) = model.loss(params, held, training=False)
+        if float(nll_ref) < 0.7 * math.log(V):
+            break
+        for i in range(60):
+            key, sk = jax.random.split(key)
+            params, _ = train_step(params, train, sk)
+
     _, (nll_ref, _) = model.loss(params, held, training=False)
     nll_ref = float(nll_ref)
     assert nll_ref < 0.7 * math.log(V), (
