@@ -35,6 +35,8 @@ class FusedExpertsNetwork:
     output_dim: Optional[int] = None
     has_fc1_bias: bool = True
     has_fc2_bias: bool = True
+    activation_bits: int = 0       # 8 = W8A8 integer-domain GEMMs
+                                   # (ops/w8a8_pallas; inference-only)
 
     def __post_init__(self):
         assert self.hidden_size_per_expert % self.sharded_count == 0, (
@@ -77,14 +79,22 @@ class FusedExpertsNetwork:
 
         from ..ops.quant import QuantizedWeight
         if isinstance(fc1_w, QuantizedWeight):
-            # Weight-only INT8/INT4 inference: Pallas grouped GEMM with
-            # fused dequant and megablocks row-narrowing.
-            from ..ops import grouped_gemm_pallas
             # interpret on non-TPU backends; the *target* platform comes
             # from the layer (ctx), not jax.devices()[0] — a virtual CPU
             # mesh may be in use while a TPU is attached.
             platform = getattr(ctx, "platform", None) \
                 or jax.devices()[0].platform
+            if self.activation_bits == 8:
+                # W8A8: both GEMMs in the integer domain — no per-byte
+                # weight dequant on the kernel's critical path
+                from ..ops import w8a8_pallas
+                return w8a8_pallas.w8a8_ffn(
+                    x, params, ctx, activation_fn=self.activation_fn,
+                    output_dim=self.output_dim,
+                    interpret=platform != "tpu")
+            # Weight-only INT8/INT4 inference: Pallas grouped GEMM with
+            # fused dequant and megablocks row-narrowing.
+            from ..ops import grouped_gemm_pallas
             return grouped_gemm_pallas.quantized_ffn(
                 x, params, ctx, activation_fn=self.activation_fn,
                 output_dim=self.output_dim,

@@ -38,6 +38,8 @@ class TransformerMoEConfig:
     expert_type: str = "ffn"
     gate_type: str = "top"
     dtype: Any = jnp.float32
+    expert_kwargs: Any = None          # extra expert-module fields
+                                       # (e.g. activation_bits=8)
 
 
 class TransformerMoE:
@@ -55,7 +57,8 @@ class TransformerMoE:
                     experts={"type": config.expert_type,
                              "num_experts_per_device":
                                  config.num_local_experts,
-                             "hidden_size_per_expert": config.expert_hidden},
+                             "hidden_size_per_expert": config.expert_hidden,
+                             **(config.expert_kwargs or {})},
                     model_dim=config.model_dim,
                     dtype=config.dtype,
                     parallel_type=parallel_type,
