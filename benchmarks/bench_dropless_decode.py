@@ -33,7 +33,8 @@ def run(args):
                    "capacity_factor": 0.0},           # dropless
         experts={"type": "ffn", "num_experts_per_device": args.experts,
                  "hidden_size_per_expert": args.hidden,
-                 "has_fc1_bias": False, "has_fc2_bias": False},
+                 "has_fc1_bias": False, "has_fc2_bias": False,
+                 "activation_bits": args.activation_bits},
         model_dim=args.model_dim, seeds=(1, 1, 1), dtype=dtype,
         group=jax.devices()[:1])
     # Build + quantize params inside one jit: eager per-op dispatch of
@@ -125,6 +126,8 @@ def main():
     parser.add_argument("--megablocks_size", type=int, default=0)
     parser.add_argument("--fused", type=int, default=1,
                         help="use the fused single-kernel FFN stream")
+    parser.add_argument("--activation_bits", type=int, default=0,
+                        help="8 = W8A8 integer-domain GEMMs")
     # differenced loop timing (see run()): iters sets the short loop
     # length; the long loop is 3x. 200 keeps one run under ~1 s.
     parser.add_argument("--iters", type=int, default=200)
