@@ -106,14 +106,20 @@ def test_training_overlap_invariance_fp64():
     """The reference's strictest numerics gate: overlap degree 1 == 2
     at fp64 (reference tests/test_tutel.py:161-176 runs exactly this
     class at float64, local_experts in {-2, 1, 2})."""
-    for nle in ("-2", "1", "2"):
-        base = ["--batch_size", "4", "--num_tokens", "32",
-                "--model_dim", "32", "--hidden_size", "32",
-                "--num_steps", "3", "--device", "cpu",
-                "--dtype", "float64", "--num_local_experts", nle,
-                "--top", "2"]
-        l1, _ = run(build_args(base + ["--a2a_ffn_overlap_degree", "1"]),
-                    log=lambda *a: None)
-        l2, _ = run(build_args(base + ["--a2a_ffn_overlap_degree", "2"]),
-                    log=lambda *a: None)
-        np.testing.assert_allclose(l1, l2, rtol=1e-9, atol=1e-9)
+    import jax
+    try:
+        for nle in ("-2", "1", "2"):
+            base = ["--batch_size", "4", "--num_tokens", "32",
+                    "--model_dim", "32", "--hidden_size", "32",
+                    "--num_steps", "3", "--device", "cpu",
+                    "--dtype", "float64", "--num_local_experts", nle,
+                    "--top", "2"]
+            l1, _ = run(build_args(base + ["--a2a_ffn_overlap_degree",
+                                           "1"]), log=lambda *a: None)
+            l2, _ = run(build_args(base + ["--a2a_ffn_overlap_degree",
+                                           "2"]), log=lambda *a: None)
+            np.testing.assert_allclose(l1, l2, rtol=1e-9, atol=1e-9)
+    finally:
+        # the fp64 run enables jax x64 globally; leaking it changes
+        # default dtypes for every later test in the process
+        jax.config.update("jax_enable_x64", False)
