@@ -16,11 +16,31 @@ import sys
 BASELINE_TOKENS_PER_SEC = 16384 / 0.030053  # reference V100 fp16 step_time
 
 
+def _probe_backend(timeout_s=180):
+    """Backend init hangs indefinitely when the remote TPU tunnel is
+    down (plugin discovery blocks); probe it in a daemon thread so a
+    dead tunnel fails fast instead of wedging the benchmark driver."""
+    import threading
+    result = {}
+
+    def probe():
+        import jax
+        result["platform"] = jax.devices()[0].platform
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "platform" not in result:
+        print("bench.py: TPU backend unreachable (tunnel down?); "
+              "no measurement possible", file=sys.stderr)
+        sys.exit(2)
+    return result["platform"]
+
+
 def main():
+    platform = _probe_backend()
     import jax
     from tutel_tpu.examples import helloworld
-
-    platform = jax.devices()[0].platform
     # bf16 is the TPU-native half precision (fp16 on the reference's V100).
     dtype = "bfloat16" if platform == "tpu" else "float32"
     args = helloworld.build_args([
