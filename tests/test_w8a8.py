@@ -106,3 +106,17 @@ def test_lm_w8a8_nll_delta():
     _, (nll_q, _) = model_q.loss(qp, tokens, training=False)
     delta = abs(float(nll_q) - float(nll_ref))
     assert math.exp(delta) < 1.15, (float(nll_ref), float(nll_q))
+
+
+def test_w4a8_block_packed_falls_back():
+    """Block-packed INT4 (TP regather layout) unpacks outside the
+    kernel but stays correct."""
+    rng = np.random.default_rng(5)
+    e, c, k, n = 2, 16, 256, 128
+    x = jnp.asarray(rng.standard_normal((e, c, k)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((e, k, n)) * .05, jnp.float32)
+    qw = quant.quantize(w, bits=4, shard_blocks=2)
+    ref = jnp.einsum("eck,ekn->ecn", x, quant.dequantize(qw))
+    out = w8.grouped_gemm_w8a8(x, qw, bm=8, bn=128, interpret=True)
+    rel = float(jnp.linalg.norm(out - ref) / (jnp.linalg.norm(ref) + 1e-9))
+    assert rel < 0.03, rel

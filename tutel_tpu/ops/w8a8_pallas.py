@@ -47,15 +47,24 @@ def quantize_activations(x, axis=-1):
 
 
 def _w8a8_kernel(counts_ref, xq_ref, sx_ref, w_ref, sw_ref, o_ref, *,
-                 bm, bn, out_dtype):
+                 bm, bn, bits, out_dtype):
     e = pl.program_id(0)
     i = pl.program_id(1)
     count = counts_ref[e]
 
     @pl.when(i * bm < count)
     def _compute():
-        acc = jnp.dot(xq_ref[0], w_ref[0],
-                      preferred_element_type=jnp.int32)
+        if bits == 4:
+            # W4A8: unpack split-half nibbles to int8 IN the kernel —
+            # the weight stream stays at INT4 bytes, the narrow target
+            # is int8 (one fewer VPU op than the bf16 dequant path),
+            # and the dot stays on the integer MXU
+            v = w_ref[0].astype(jnp.int32)
+            q = jnp.concatenate([(v << 28) >> 28, v >> 4],
+                                axis=0).astype(jnp.int8)
+        else:
+            q = w_ref[0]
+        acc = jnp.dot(xq_ref[0], q, preferred_element_type=jnp.int32)
         scaled = acc.astype(jnp.float32) \
             * sx_ref[0, :, 0][:, None] * sw_ref[0, 0, :][None, :]
         o_ref[0] = scaled.astype(out_dtype)
@@ -70,9 +79,10 @@ def grouped_gemm_w8a8(x, qw: QuantizedWeight, counts=None, *, bm=256,
     """out[e] = x[e] @ dequant(qw[e]) with the contraction in int8.
 
     x: [E, C, K] float activations (quantized per row internally);
-    qw: INT8 QuantizedWeight [E, K, N] (INT4 weights are unpacked to
-    int8 outside the kernel — the stream is then 2x INT4's bytes, so
-    prefer this path when compute, not weight bandwidth, binds).
+    qw: INT8 or INT4 QuantizedWeight [E, K, N]. INT4 (blocks == 1)
+    unpacks to int8 INSIDE the kernel, so the weight stream keeps
+    INT4's bytes (W4A8); block-packed INT4 (TP regather layouts)
+    unpacks outside, doubling stream bytes.
     Returns [E, C, N] in x.dtype. Inference-only.
     """
     e, c, k = x.shape
@@ -82,8 +92,12 @@ def grouped_gemm_w8a8(x, qw: QuantizedWeight, counts=None, *, bm=256,
         counts = jnp.full((e,), c, dtype=jnp.int32)
     counts = counts.astype(jnp.int32)
 
-    vals = qw.values if qw.bits == 8 else unpack_int4(qw.values,
-                                                      qw.blocks)
+    bits = qw.bits
+    if bits == 8 or qw.blocks == 1:
+        vals = qw.values                       # int8 or packed int4
+    else:
+        vals = unpack_int4(qw.values, qw.blocks)
+        bits = 8
     scales = qw.scales.astype(jnp.float32)               # [E, 1, N]
 
     xq, sx = quantize_activations(x)                     # int8, [E,C,1]
@@ -101,8 +115,9 @@ def grouped_gemm_w8a8(x, qw: QuantizedWeight, counts=None, *, bm=256,
         vals = jnp.pad(vals, ((0, 0), (0, 0), (0, pad_n)))
         scales = jnp.pad(scales, ((0, 0), (0, 0), (0, pad_n)))
     cp, np_ = c + pad_c, n + pad_n
+    kp = vals.shape[1]                                   # K or K//2
 
-    kernel = functools.partial(_w8a8_kernel, bm=bm, bn=bn,
+    kernel = functools.partial(_w8a8_kernel, bm=bm, bn=bn, bits=bits,
                                out_dtype=x.dtype)
     out = pl.pallas_call(
         kernel,
@@ -112,7 +127,7 @@ def grouped_gemm_w8a8(x, qw: QuantizedWeight, counts=None, *, bm=256,
             in_specs=[
                 pl.BlockSpec((1, bm, k), lambda e, i, j, cnt: (e, i, 0)),
                 pl.BlockSpec((1, bm, 1), lambda e, i, j, cnt: (e, i, 0)),
-                pl.BlockSpec((1, k, bn), lambda e, i, j, cnt: (e, 0, j)),
+                pl.BlockSpec((1, kp, bn), lambda e, i, j, cnt: (e, 0, j)),
                 pl.BlockSpec((1, 1, bn), lambda e, i, j, cnt: (e, 0, j)),
             ],
             out_specs=pl.BlockSpec((1, bm, bn),
