@@ -215,21 +215,6 @@ def test_gather_path_matches_scatter_oracle():
                                    rtol=1e-6, atol=1e-6)
 
 
-def test_pallas_gather_rows_matches_take():
-    """The Pallas row-DMA gather (interpret mode) is bit-identical to the
-    jnp.take fill-gather spec, including out-of-range sentinels."""
-    import jax
-    import jax.numpy as jnp
-    from tutel_tpu.ops.dispatch_pallas import gather_rows
-
-    rng = np.random.RandomState(3)
-    x = jnp.asarray(rng.randn(37, 1024).astype(np.float32))
-    idx = jnp.asarray(rng.randint(0, 42, size=83).astype(np.int32))
-    ref = jnp.take(x, idx, axis=0, mode="fill", fill_value=0)
-    got = gather_rows(x, idx, bm=16, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
-
-
 def test_dispatch_fuzz_vs_scatter_oracle():
     """Randomized (S, E, K, capacity) configs incl. heavy drops: the
     gather-only hot path must match the scatter spec bit-for-bit, and a

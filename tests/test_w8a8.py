@@ -86,10 +86,9 @@ def test_lm_w8a8_nll_delta():
             num_local_experts=4, top_k=2, expert_hidden=64,
             expert_kwargs={"activation_bits": abits})
 
-    try:
-        model_q = TransformerMoE(cfg(8), group=jax.devices()[:1])
-    except TypeError:
-        pytest.skip("model config lacks expert_kwargs passthrough")
+    # expert_kwargs passthrough is this repo's own API — a regression
+    # here must FAIL, not skip.
+    model_q = TransformerMoE(cfg(8), group=jax.devices()[:1])
     model = TransformerMoE(cfg(0), group=jax.devices()[:1])
     params = model.init(jax.random.PRNGKey(0))
     tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 32), 0, 61)
@@ -106,6 +105,65 @@ def test_lm_w8a8_nll_delta():
     _, (nll_q, _) = model_q.loss(qp, tokens, training=False)
     delta = abs(float(nll_q) - float(nll_ref))
     assert math.exp(delta) < 1.15, (float(nll_ref), float(nll_q))
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_fused_ffn_w8a8_matches_reference(bits):
+    """Whole-expert fused stream with integer-domain dots (W4A8/W8A8)
+    tracks the dequantized fp reference within the two-quantization
+    error budget (activation int8 + hidden re-quant int8)."""
+    from tutel_tpu.ops import fused_ffn_pallas as fp
+
+    rng = np.random.default_rng(10 + bits)
+    e, c, k, h, n = 3, 24, 128, 256, 128
+    x = jnp.asarray(rng.standard_normal((e, c, k)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((e, k, h)) * .05, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((e, h, n)) * .05, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((e, h)) * .01, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((e, n)) * .01, jnp.float32)
+    q1, q2 = quant.quantize(w1, bits=bits), quant.quantize(w2, bits=bits)
+    stream = fp.prepare_fused_ffn(q1, q2, b1, b2)
+    assert stream is not None
+
+    counts = jnp.asarray([c, 0, 7], jnp.int32)
+    out = fp.fused_ffn_w8a8(x, stream, counts, activation_fn=jax.nn.gelu,
+                            interpret=True, chunk=128)
+    hid = jax.nn.gelu(jnp.einsum("eck,ekh->ech", x, quant.dequantize(q1))
+                      + b1[:, None, :])
+    ref = jnp.einsum("ech,ehn->ecn", hid, quant.dequantize(q2)) \
+        + b2[:, None, :]
+    # compare only live rows (rows past counts carry bias-only values)
+    live = ref[0], ref[2, :7]
+    got = out[0], out[2, :7]
+    for r, g in zip(live, got):
+        rel = float(jnp.linalg.norm(g - r) / (jnp.linalg.norm(r) + 1e-9))
+        assert rel < 0.05, rel
+    # empty expert rows are bias2-only through the quantized hidden path
+    assert out.shape == (e, c, n)
+
+
+def test_w8a8_ffn_prefers_fused_stream():
+    """w8a8_ffn routes through the fused whole-expert kernel when a
+    stream is attached, and its output matches the two-call path."""
+    from tutel_tpu.ops import fused_ffn_pallas as fp
+
+    rng = np.random.default_rng(21)
+    e, c, k, h, n = 2, 16, 128, 256, 128
+    x = jnp.asarray(rng.standard_normal((e, c, k)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((e, k, h)) * .05, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((e, h, n)) * .05, jnp.float32)
+    params = {"fc1_w": quant.quantize(w1, bits=4),
+              "fc2_w": quant.quantize(w2, bits=4)}
+    two_call = w8.w8a8_ffn(x, params, None, jax.nn.gelu, n,
+                           interpret=True)
+    fused_params = fp.prepare_fused_ffn_params(params)
+    assert "fused_stream" in fused_params
+    out = w8.w8a8_ffn(x, fused_params, None, jax.nn.gelu, n,
+                      interpret=True)
+    rel = float(jnp.linalg.norm(out - two_call)
+                / (jnp.linalg.norm(two_call) + 1e-9))
+    # paths differ only in where the hidden re-quant happens
+    assert rel < 0.02, rel
 
 
 def test_w4a8_block_packed_falls_back():

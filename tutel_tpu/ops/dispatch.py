@@ -64,18 +64,12 @@ def _inverse_slot(crit: RoutingResult):
 def _take_rows(data, idx):
     """Gather rows with out-of-range -> 0 (the dropped-token guard).
 
-    TUTEL_TPU_PALLAS_DISPATCH=1 routes wide 2-D row gathers through the
-    Pallas row-DMA kernel (ops/dispatch_pallas.py) — measured SLOWER than
-    XLA's gather on v5e (per-row DMA issue loops vs the vectorized gather
-    emission), so it is off by default and kept as an A/B knob;
+    XLA's vectorized gather emission won this path's A/B on v5e: a
+    Pallas per-row-DMA kernel measured slower (~40 ns/row issue cost
+    against a 42 ns/row budget) and was removed in round 3 (history:
+    ops/dispatch_pallas.py / ops/fused_dispatch.py in git).
     TUTEL_TPU_GATHER_MODE=clipwhere selects the clip+mask emission."""
     import os
-    if (idx.ndim == 1
-            and os.environ.get("TUTEL_TPU_PALLAS_DISPATCH", "0") == "1"
-            and jax.devices()[0].platform == "tpu"):
-        from .dispatch_pallas import gather_rows, supported
-        if supported(data.shape, data.dtype):
-            return gather_rows(data, idx)
     if os.environ.get("TUTEL_TPU_GATHER_MODE") == "clipwhere":
         n = data.shape[0]
         rows = jnp.take(data, jnp.minimum(idx, n - 1), axis=0, mode="clip")

@@ -261,6 +261,159 @@ def fused_ffn_quant(x, stream: FusedFFNStream, counts=None,
     return out[:, :c, :stream.n]
 
 
+def _unpack_i8(wq, bits):
+    """[kr, bw] packed tile -> [pack*kr, bw] int8 (split-half order).
+    The int32 domain is required for the shifts (Mosaic rejects i8/i16
+    shifts); each half is cast to int8 BEFORE the concat so the
+    temporary is 1 byte/elem."""
+    if bits == 4:
+        v = wq.astype(jnp.int32)
+        return jnp.concatenate([((v << 28) >> 28).astype(jnp.int8),
+                                (v >> 4).astype(jnp.int8)], axis=0)
+    return wq
+
+
+def _fused_w8a8_kernel(counts_ref, xq_ref, sx_ref, w_ref, sb_ref, o_ref,
+                       h_sc, hq_sc, ss_sc, *, bits, t1, t2, bw, chunk,
+                       act, out_dtype):
+    e = pl.program_id(0)
+    count = counts_ref[e]
+    nch = bw // chunk
+
+    @pl.when(count > 0)
+    def _fc1():
+        sx = sx_ref[0, :, 0]                       # [cp] f32 row scales
+        for t in range(t1):
+            for j in range(nch):
+                q = _unpack_i8(
+                    w_ref[0, t, :, j * chunk:(j + 1) * chunk], bits)
+                acc = jnp.dot(xq_ref[0], q,
+                              preferred_element_type=jnp.int32)
+                y = acc.astype(jnp.float32) * sx[:, None] \
+                    * sb_ref[0, t, 0, pl.ds(j * chunk, chunk)][None, :] \
+                    + sb_ref[0, t, 1, pl.ds(j * chunk, chunk)][None, :]
+                h_sc[:, pl.ds(t * bw + j * chunk, chunk)] = act(y)
+
+    @pl.when(count <= 0)
+    def _empty():
+        h_sc[...] = jnp.zeros_like(h_sc)
+
+    # Re-quantize the hidden state IN VMEM (per-row symmetric absmax ->
+    # int8 + f32 row scale) so fc2 also runs on the integer MXU; the
+    # f32 hidden never touches HBM.
+    h = h_sc[...]
+    absmax = jnp.max(jnp.abs(h), axis=1, keepdims=True)
+    sxh = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    hq_sc[...] = jnp.clip(jnp.round(h / sxh), -128, 127).astype(jnp.int8)
+    ss_sc[...] = jnp.broadcast_to(sxh, ss_sc.shape)
+
+    for t in range(t1, t1 + t2):
+        for j in range(nch):
+            q = _unpack_i8(w_ref[0, t, :, j * chunk:(j + 1) * chunk],
+                           bits)
+            acc = jnp.dot(hq_sc[...], q, preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * ss_sc[:, :1] \
+                * sb_ref[0, t, 0, pl.ds(j * chunk, chunk)][None, :] \
+                + sb_ref[0, t, 1, pl.ds(j * chunk, chunk)][None, :]
+            o_ref[0, :, pl.ds((t - t1) * bw + j * chunk, chunk)] = \
+                y.astype(out_dtype)
+
+
+def vmem_bytes_w8a8(stream: FusedFFNStream, c, dtype, chunk=512):
+    """VMEM working-set estimate for fused_ffn_w8a8: double-buffered
+    stream + int8 x / f32 out blocks, the f32 + int8 hidden scratches,
+    the row-scale scratch, and the in-kernel unpack temporaries."""
+    isize = jnp.dtype(dtype).itemsize
+    pack = 2 if stream.bits == 4 else 1
+    cp = -(-c // 32) * 32                        # int8 sublane multiple
+    xw = pack * stream.kr
+    t = stream.t1 + stream.t2
+    return (2 * t * stream.kr * stream.bw        # weight stream x2
+            + 2 * t * 2 * stream.bw * 4          # sb x2
+            + 2 * cp * xw                        # int8 x block x2
+            + 2 * cp * 128 * 4                   # sx block x2 (lane-pad)
+            + 2 * cp * stream.t2 * stream.bw * isize   # out block x2
+            + cp * xw * 4                        # f32 hidden scratch
+            + cp * xw                            # int8 hidden scratch
+            + cp * 128 * 4                       # row-scale scratch
+            + stream.kr * chunk * (4 + 2 * pack))      # unpack temps
+
+
+def fused_ffn_w8a8(x, stream: FusedFFNStream, counts=None,
+                   activation_fn=jax.nn.gelu, interpret=False,
+                   chunk=None):
+    """Whole-expert fused FFN with BOTH contractions on the integer MXU
+    (W8A8 / W4A8): activations are quantized per row to int8 outside
+    the kernel, the INT4/INT8 weight stream is unpacked to int8 (not
+    bf16) inside it, dots accumulate in int32, results are rescaled by
+    the rank-1 product of row and output-channel scales, and the hidden
+    is re-quantized in VMEM between fc1 and fc2. This removes the
+    per-byte weight dequant-to-bf16 from the stream's critical path —
+    the route past the weight-only kernels' dequant-bound roofline (no
+    reference counterpart; the reference's megablocks grouped GEMM is
+    fp-only, reference tutel/custom/custom_kernel.cpp:874-889).
+
+    Same row semantics and signature as fused_ffn_quant. Inference-only.
+    """
+    e, c, k = x.shape
+    assert k == stream.k, (x.shape, stream.k)
+    assert e == stream.wstream.shape[0]
+    if counts is None:
+        counts = jnp.full((e,), c, dtype=jnp.int32)
+    counts = counts.astype(jnp.int32)
+
+    bits, kr, bw = stream.bits, stream.kr, stream.bw
+    t1, t2 = stream.t1, stream.t2
+    pack = 2 if bits == 4 else 1
+    cp = -(-c // 32) * 32                        # int8 sublane multiple
+    from .w8a8_pallas import quantize_activations
+    xq, sx = quantize_activations(x)             # int8, f32 [E, C, 1]
+    xq = _relayout_x(xq, bits, kr, cp)
+    if cp > c:
+        sx = jnp.pad(sx, ((0, 0), (0, cp - c), (0, 0)),
+                     constant_values=1.0)
+    xw = pack * kr
+
+    chunk = chunk or int(os.environ.get("TUTEL_TPU_FUSED_CHUNK", "0")) \
+        or min(bw, 512)
+    if bw % chunk:
+        chunk = min(bw, 512)
+    kernel = functools.partial(
+        _fused_w8a8_kernel, bits=bits, t1=t1, t2=t2, bw=bw, chunk=chunk,
+        act=activation_fn, out_dtype=x.dtype)
+    flops = 2 * e * cp * (k * stream.h + stream.h * stream.n)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(e,),
+            in_specs=[
+                pl.BlockSpec((1, cp, xw), lambda e, cnt: (e, 0, 0)),
+                pl.BlockSpec((1, cp, 1), lambda e, cnt: (e, 0, 0)),
+                pl.BlockSpec((1, t1 + t2, kr, bw),
+                             lambda e, cnt: (e, 0, 0, 0)),
+                pl.BlockSpec((1, t1 + t2, 2, bw),
+                             lambda e, cnt: (e, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, cp, t2 * bw),
+                                   lambda e, cnt: (e, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((cp, xw), jnp.float32),
+                            pltpu.VMEM((cp, xw), jnp.int8),
+                            pltpu.VMEM((cp, 128), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((e, cp, t2 * bw), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=xq.size + stream.wstream.size
+            + e * cp * t2 * bw * x.dtype.itemsize,
+            transcendentals=e * cp * stream.h),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(counts, xq, sx, stream.wstream, stream.sb)
+    return out[:, :c, :stream.n]
+
+
 def prepare_fused_swiglu(w1: QuantizedWeight, w2: QuantizedWeight,
                          w3: QuantizedWeight, bw=None):
     """Phase-packed stream for a SwiGLU expert (experts/llama_ffn.py):

@@ -58,10 +58,14 @@ def _w8a8_kernel(counts_ref, xq_ref, sx_ref, w_ref, sw_ref, o_ref, *,
             # W4A8: unpack split-half nibbles to int8 IN the kernel —
             # the weight stream stays at INT4 bytes, the narrow target
             # is int8 (one fewer VPU op than the bf16 dequant path),
-            # and the dot stays on the integer MXU
+            # and the dot stays on the integer MXU. Cast each half to
+            # int8 BEFORE the concat so the [2K, bn] temporary is 1
+            # byte/elem, not 4 (VMEM: the int32 unpack domain is
+            # required — Mosaic rejects i8/i16 shifts — but only per
+            # half).
             v = w_ref[0].astype(jnp.int32)
-            q = jnp.concatenate([(v << 28) >> 28, v >> 4],
-                                axis=0).astype(jnp.int8)
+            q = jnp.concatenate([((v << 28) >> 28).astype(jnp.int8),
+                                 (v >> 4).astype(jnp.int8)], axis=0)
         else:
             q = w_ref[0]
         acc = jnp.dot(xq_ref[0], q, preferred_element_type=jnp.int32)
@@ -103,8 +107,23 @@ def grouped_gemm_w8a8(x, qw: QuantizedWeight, counts=None, *, bm=256,
     xq, sx = quantize_activations(x)                     # int8, [E,C,1]
 
     bm = min(bm, c)
+    kp_rows = vals.shape[1]                              # K or K//2 (int4)
     if bn is None:
-        bn = 2048 if n % 2048 == 0 else (1024 if n % 1024 == 0 else 256)
+        # Largest output tile fitting VMEM (same ~12 MB ladder as
+        # grouped_gemm_quant): 2 pipeline buffers of the packed weight
+        # block, plus for in-kernel INT4 unpack the int32 domain copy
+        # (4B/packed elem) and the two int8 halves + their concat
+        # (1B/unpacked elem each). Only divisors of N are considered —
+        # a non-divisor pads the weights inside the traced call.
+        per_col = 2 * kp_rows
+        if bits == 4:
+            per_col += 4 * kp_rows + 2 * (2 * kp_rows)
+        bn = 256
+        for cand in (2048, 1024, 512, 256):
+            if cand <= n and n % cand == 0 \
+                    and per_col * cand <= 12 * 1024 * 1024:
+                bn = cand
+                break
     bn = min(bn, n)
     pad_c = (-c) % bm
     pad_n = (-n) % bn
@@ -156,6 +175,21 @@ def w8a8_ffn(x, params, ctx, activation_fn, output_dim,
     counts = getattr(ctx, "dispatch_count", None) if ctx else None
     fc1_w, fc2_w = params["fc1_w"], params["fc2_w"]
     fc1_b, fc2_b = params.get("fc1_b"), params.get("fc2_b")
+
+    stream = params.get("fused_stream")
+    if stream is not None and stream.n >= output_dim:
+        from .fused_ffn_pallas import fused_ffn_w8a8, vmem_bytes_w8a8
+        # whole-expert phase-packed stream with integer-domain dots
+        # (W4A8/W8A8); shrink the unpack chunk under VMEM pressure,
+        # fall back to the two-call path only if chunk=128 won't fit
+        for chunk in (512, 256, 128):
+            if stream.bw % chunk == 0 and \
+                    vmem_bytes_w8a8(stream, x.shape[1], x.dtype, chunk) \
+                    <= 15 * 1024 * 1024:
+                out = fused_ffn_w8a8(x, stream, counts,
+                                     activation_fn=activation_fn,
+                                     interpret=interpret, chunk=chunk)
+                return out[..., :output_dim]
 
     y = grouped_gemm_w8a8(x, fc1_w, counts, interpret=interpret)
     if fc1_b is not None:
