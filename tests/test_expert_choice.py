@@ -198,6 +198,86 @@ def test_ec_ep_matches_single_device():
         assert bool(jnp.all(jnp.isfinite(leaf)))
 
 
+def test_ec_ep_grads_match_single_device():
+    """Training gradients flow exactly through the O(capacity) ragged
+    exchange: d(loss)/dx and the replicated gate grads under 8-device
+    EP equal the single-device values."""
+    def make(n):
+        return moe.moe_layer(
+            gate_type={"type": "expert_choice", "capacity_factor": 2.0,
+                       "gate_noise": 0.0},
+            experts={"type": "ffn", "num_experts_per_device": 8 // n,
+                     "hidden_size_per_expert": 64},
+            model_dim=32, seeds=(1, 1, 1), group=jax.devices()[:n])
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 32))
+    l1, l8 = make(1), make(8)
+    params = l1.init(jax.random.PRNGKey(0))
+    p8 = l8.shard_params(params)
+
+    def loss(layer, p, xx):
+        o, z = layer(p, xx, training=True)
+        return jnp.mean(o ** 2) + 0.01 * z
+
+    gx1 = jax.grad(lambda xx: loss(l1, params, xx))(x)
+    gx8 = jax.grad(lambda xx: loss(l8, p8, xx))(x)
+    np.testing.assert_allclose(np.asarray(gx8), np.asarray(gx1),
+                               atol=2e-6)
+    gp1 = jax.grad(lambda p: loss(l1, params | {"gates": p}, x))(
+        params["gates"])
+    gp8 = jax.grad(lambda p: loss(l8, p8 | {"gates": p}, x))(
+        p8["gates"])
+    np.testing.assert_allclose(np.asarray(gp8[0]["wg"]),
+                               np.asarray(gp1[0]["wg"]), atol=2e-6)
+
+
+def test_ec_ep_valid_tokens_matches_single_device():
+    """EC under EP honors valid_tokens (newly lifted restriction): a
+    global prefix fill of 20 tokens as a per-shard vector equals the
+    single-device scalar form; masked tokens produce zero output."""
+    def make(n):
+        return moe.moe_layer(
+            gate_type={"type": "expert_choice", "capacity_factor": 1.0,
+                       "gate_noise": 0.0},
+            experts={"type": "ffn", "num_experts_per_device": 8 // n,
+                     "hidden_size_per_expert": 32},
+            model_dim=16, seeds=(1, 1, 1), group=jax.devices()[:n])
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (64, 16))
+    l1, l8 = make(1), make(8)
+    params = l1.init(jax.random.PRNGKey(0))
+    ref, zl1 = l1(params, x, valid_tokens=20)
+    out, zl8 = l8(l8.shard_params(params), x,
+                  valid_tokens=jnp.asarray([8, 8, 4, 0, 0, 0, 0, 0]))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)
+    assert bool(jnp.all(out[20:] == 0))
+    np.testing.assert_allclose(float(zl8), float(zl1), rtol=1e-5)
+
+
+def test_ec_ep_wire_is_capacity_not_allgather():
+    """The compiled EC EP program must not all-gather the [S, M]
+    activation matrix — only the small [s, E] score shard (plus mask)
+    may ride an all-gather; activations travel via the ragged a2a
+    (VERDICT r2 item 5: O(capacity) wire)."""
+    layer = moe.moe_layer(
+        gate_type={"type": "expert_choice", "capacity_factor": 2.0,
+                   "gate_noise": 0.0},
+        experts={"type": "ffn", "num_experts_per_device": 1,
+                 "hidden_size_per_expert": 64},
+        model_dim=32, seeds=(1, 1, 1), group=jax.devices()[:8])
+    params = layer.init(jax.random.PRNGKey(0))
+    x = jnp.zeros((64, 32))
+    hlo = jax.jit(lambda p, xx: layer(p, xx)).lower(
+        params, x).compile().as_text()
+    gathers = [ln for ln in hlo.splitlines() if "all-gather(" in ln
+               or "all-gather-start(" in ln]
+    for ln in gathers:
+        # score gather is [S, E] = [64, 8]; the activation matrix
+        # [64, 32] (or any M=32-wide gather) must not appear
+        assert "f32[64,32]" not in ln.replace(" ", ""), ln
+
+
 def test_ec_rejects_tp_layout():
     with pytest.raises(AssertionError, match="pure-EP"):
         layer = moe.moe_layer(

@@ -491,15 +491,15 @@ class MOELayer:
             # Expert-choice: capacity_factor is the average number of
             # experts per token, so C = cf * S / E; balanced by
             # construction (ops/expert_choice.py). Under EP the top-C
-            # sees the global token pool via an all_gather of scores
-            # and activations (pure-EP layouts only).
+            # sees the global token pool via a score-only all_gather;
+            # activations travel by a ragged a2a sized by the selection
+            # (O(capacity) wire — pure-EP layouts only).
             assert not use_ragged_ep and (
                 self.world_size == 1
-                or (self.sharded_count == 1 and not self._flat_2dh()
-                    and valid_tokens is None)), (
+                or (self.sharded_count == 1 and not self._flat_2dh())), (
                 "expert-choice routing is a single-program selection "
                 "over the token pool; multi-device needs a pure-EP "
-                "layout (sharded_count == 1, no 2DH, no valid_tokens)")
+                "layout (sharded_count == 1, no 2DH)")
             if capacity_override is not None:
                 cap = int(capacity_override)
             else:
@@ -951,34 +951,48 @@ class MOELayer:
                                            self.is_postscore)
                     return out, ec_ops.router_z_loss(logits, token_mask)
 
-                # EP: the EC top-C must see every token, so gather the
-                # (small) score matrix and the activations across the
-                # expert axes, let the local experts select from the
-                # GLOBAL token pool, and reduce-scatter the combined
-                # outputs back to each token's owner. Wire cost is
-                # all_gather(x) + reduce_scatter(out) — the EC analogue
-                # of token-choice's two all-to-alls.
+                # EP: the EC top-C must see every token's SCORE, but
+                # only the selected tokens' ACTIVATIONS. Gather the tiny
+                # [S, E] score matrix (and mask), run the replicated
+                # top-C everywhere, then move just the chosen rows with
+                # a ragged a2a sized exactly E_local*C on the receive
+                # side — wire cost O(capacity * M) per leg, not the
+                # O(W * S * M) of a full-activation all_gather
+                # (ops/expert_choice.py ec_ep_* for the plan/exchange).
                 e_local = e_global // w
+                native = self.devices[0].platform == "tpu"
                 sc_g = lax.all_gather(scores, ep_axes, axis=0,
                                       tiled=True)
-                x_g = lax.all_gather(x_local, ep_axes, axis=0,
-                                     tiled=True)
-                ec = ec_ops.expert_choice_routing(sc_g, cfg.capacity)
-                sl = idx * e_local
-                ec_local = ec_ops.ECRouting(
-                    indices=lax.dynamic_slice_in_dim(
-                        ec.indices, sl, e_local, 0),
-                    gates=lax.dynamic_slice_in_dim(
-                        ec.gates, sl, e_local, 0),
-                    capacity=ec.capacity)
-                y = ec_ops.ec_encode(x_g, ec_local, self.is_postscore)
+                mask_g = None
+                if token_mask is not None:
+                    mask_g = lax.all_gather(token_mask, ep_axes,
+                                            axis=0, tiled=True)
+                ec = ec_ops.expert_choice_routing(sc_g, cfg.capacity,
+                                                  mask_g)
+                plan = ec_ops.ec_ep_plan(ec.indices, idx,
+                                         x_local.shape[0], w)
+                gates_local = lax.dynamic_slice_in_dim(
+                    ec.gates, idx * e_local, e_local, 0)
+                y = ec_ops.ec_ep_dispatch(x_local, plan, ep_axes,
+                                          e_local, ec.capacity,
+                                          native=native)
+                if not self.is_postscore:
+                    y = y * gates_local[..., None].astype(y.dtype)
                 y = self._apply_experts(expert_params, y, ctx)
-                partial = ec_ops.ec_decode(y, ec_local, x_g.shape[0],
-                                           self.is_postscore)
-                out = lax.psum_scatter(partial, ep_axes,
-                                       scatter_dimension=0, tiled=True)
-                return out, lax.pmean(
-                    ec_ops.router_z_loss(logits, token_mask), ep_axes)
+                if self.is_postscore:
+                    y = y * gates_local[..., None].astype(y.dtype)
+                else:
+                    # dead slots (gate 0) must not scatter expert-bias
+                    # rows to arbitrary tokens (see ec_decode)
+                    y = y * (gates_local[..., None] != 0).astype(y.dtype)
+                out = ec_ops.ec_ep_combine(y, plan, x_local.shape[0],
+                                           ep_axes, native=native)
+                # valid-count-weighted z-loss: psum the (sum, count)
+                # parts so unequal per-shard masks average correctly
+                zsum, zcnt = ec_ops.router_z_loss_parts(logits,
+                                                        token_mask)
+                return out, (lax.psum(zsum, ep_axes)
+                             / jnp.maximum(lax.psum(zcnt, ep_axes), 1))
 
             crit, l_aux = self._routing_local(
                 cfg, gate_params, x_local, local_key, token_mask)

@@ -89,11 +89,127 @@ def router_z_loss(logits, token_mask=None):
     """z-loss = mean_s (logsumexp_e logits)^2 (ST-MoE) — the standard
     EC auxiliary; keeps router logits from drifting (there is no load
     to balance)."""
+    zsum, cnt = router_z_loss_parts(logits, token_mask)
+    return zsum / jnp.maximum(cnt, 1)
+
+
+def router_z_loss_parts(logits, token_mask=None):
+    """(sum, valid-count) decomposition of the z-loss, so EP shards can
+    psum both parts and divide — a pmean of per-shard MEANS would
+    mis-weight shards with unequal valid-token counts."""
     z = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1) ** 2
     if token_mask is not None:
-        denom = jnp.maximum(jnp.sum(token_mask), 1)
-        return jnp.sum(jnp.where(token_mask, z, 0.0)) / denom
-    return jnp.mean(z)
+        # true count (no clamp) — shards with zero valid tokens must
+        # contribute 0 to a psum'd denominator; callers guard the divide
+        return (jnp.sum(jnp.where(token_mask, z, 0.0)),
+                jnp.sum(token_mask).astype(z.dtype))
+    return jnp.sum(z), jnp.asarray(z.shape[0], z.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Expert parallelism: O(capacity) activation exchange.
+#
+# EC selection needs the SCORES of every token globally (each expert's
+# top-C ranks the whole pool), but the ACTIVATIONS of only the selected
+# tokens. So under EP we all_gather the tiny [S, E] score matrix, run
+# the (replicated, deterministic) top-C everywhere, and then move just
+# the chosen rows with a ragged all-to-all: every slot (e, c) is owned
+# by exactly one source device, so the receive side is exactly
+# L = E_local * C rows — wire cost O(capacity * M), not O(S * M) like a
+# full-activation all_gather (W x S x M). The combine leg is the exact
+# transpose (the same ragged exchange reversed + scatter-add by owner).
+# ---------------------------------------------------------------------------
+
+class ECPlan(NamedTuple):
+    """Static-shape exchange plan for EC under EP (one per routing).
+
+    All fields derive from the replicated global `indices`, so every
+    device computes the identical plan without extra communication.
+    """
+    send_ids: jnp.ndarray     # [E*C] my local token id per send row
+    #                           (sentinel = s for pad rows past the total)
+    send_counts: jnp.ndarray  # [W] rows I send to each selecting device
+    recv_counts: jnp.ndarray  # [W] rows I receive from each owner
+    perm: jnp.ndarray         # [L] slot order -> receive order
+    inv_perm: jnp.ndarray     # [L] receive order -> slot order
+
+
+def ec_ep_plan(indices, my_idx, num_local_tokens, world):
+    """Build the ragged-exchange plan from global EC indices.
+
+    Args:
+      indices: [E, C] int32 global token ids (replicated across EP).
+      my_idx: this device's EP index (traced scalar is fine).
+      num_local_tokens: s — tokens owned per device (S = w*s).
+      world: W static EP world size.
+    """
+    e, c = indices.shape
+    s = num_local_tokens
+    e_local = e // world
+    l = e_local * c
+    ids_by_d = indices.reshape(world, l)                    # [W, L]
+    owner = ids_by_d // s                                   # [W, L]
+    mine = owner == my_idx
+    send_counts = mine.sum(axis=1).astype(jnp.int32)        # [W]
+    # Within each destination d: stable-compact my rows to the front,
+    # keeping d's slot order, so sender chunk order == the order d's
+    # owner-stable-sorted slots expect.
+    order = jnp.argsort(~mine, axis=1, stable=True)         # [W, L]
+    local = jnp.where(mine, ids_by_d - my_idx * s, s)
+    local_sorted = jnp.take_along_axis(local, order, axis=1)
+    # Pack destination chunks contiguously (ragged a2a wants cumsum
+    # offsets over a packed buffer).
+    start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(send_counts)[:-1].astype(jnp.int32)])
+    cols = jnp.arange(l, dtype=jnp.int32)
+    pos = start[:, None] + cols[None, :]                    # [W, L]
+    valid = cols[None, :] < send_counts[:, None]
+    pos = jnp.where(valid, pos, world * l)
+    send_ids = jnp.full((world * l,), s, jnp.int32).at[
+        pos.reshape(-1)].set(
+            jnp.where(valid, local_sorted, s).reshape(-1), mode="drop")
+    # My receive side: slots of MY experts, grouped by owner.
+    ids_me = lax.dynamic_slice_in_dim(ids_by_d, my_idx, 1, 0)[0]  # [L]
+    owner_me = ids_me // s
+    recv_counts = jnp.sum(
+        owner_me[None, :] == jnp.arange(world)[:, None],
+        axis=1).astype(jnp.int32)
+    perm = jnp.argsort(owner_me, stable=True).astype(jnp.int32)
+    inv_perm = jnp.argsort(perm).astype(jnp.int32)
+    return ECPlan(send_ids=send_ids, send_counts=send_counts,
+                  recv_counts=recv_counts, perm=perm, inv_perm=inv_perm)
+
+
+def ec_ep_dispatch(x_local, plan: ECPlan, axis, e_local, capacity,
+                   native=None):
+    """[s, M] local tokens -> [E_local, C, M] expert buffers via ragged
+    a2a (only selected rows travel). Differentiable: the a2a carries the
+    reverse-exchange VJP, gathers transpose to scatters."""
+    from . import ragged_ep  # shared differentiable exchange blocks
+    l = e_local * capacity
+    send_buf = jnp.take(x_local, plan.send_ids, axis=0, mode="fill",
+                        fill_value=0)                       # [E*C, M]
+    recv = ragged_ep._ragged_a2a(send_buf, plan.send_counts,
+                                 plan.recv_counts, axis, l, native)
+    slot_rows = ragged_ep._perm_take(recv, plan.inv_perm, plan.perm)
+    return slot_rows.reshape(e_local, capacity, x_local.shape[-1])
+
+
+def ec_ep_combine(y, plan: ECPlan, num_local_tokens, axis, native=None):
+    """[E_local, C, M] gated expert outputs -> [s, M] combined on each
+    token's owner (ragged exchange back + scatter-add; tokens picked by
+    several experts sum their contributions)."""
+    from . import ragged_ep
+    l = y.shape[0] * y.shape[1]
+    m = y.shape[-1]
+    y_flat = y.reshape(l, m)
+    back_send = ragged_ep._perm_take(y_flat, plan.perm, plan.inv_perm)
+    back = ragged_ep._ragged_a2a(back_send, plan.recv_counts,
+                                 plan.send_counts, axis,
+                                 plan.send_ids.shape[0], native)
+    out = jnp.zeros((num_local_tokens, m), y.dtype)
+    return out.at[plan.send_ids].add(back, mode="drop")
 
 
 def expert_choice_forward(scores, logits, x, expert_fn, capacity,
