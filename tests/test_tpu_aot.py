@@ -1,0 +1,293 @@
+"""AOT TPU-compile evidence — no hardware needed.
+
+libtpu compiles ahead-of-time for a topology descriptor
+(jax.experimental.topologies), which validates two things the virtual
+CPU mesh cannot:
+
+  * Mosaic kernel lowering: the integer-domain grouped GEMMs
+    (ops/w8a8_pallas.py) and the fused whole-expert streams
+    (ops/fused_ffn_pallas.py) compile through the real TPU toolchain
+    at production sizes (VMEM budgets, i8 dot lowering, in-kernel INT4
+    unpack) — interpret-mode tests alone can't show this (Mosaic has
+    rejected i8/i16 ops in this environment before).
+  * Multi-host readiness (reference custom_kernel.cpp:656-738 2DH):
+    v5e:4x4 is a genuine 4-process topology, so the 2DH / ragged-EP /
+    overlap / expert-choice variants compiling for it — with the 2DH
+    collectives split into intra-host (ICI) and cross-host (DCN)
+    groups — is the strongest pre-hardware evidence for the >=85%
+    multi-host scaling target (SURVEY.md §6).
+"""
+
+import dataclasses
+import re
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tutel_tpu import moe
+from tutel_tpu.impls.moe_layer import _VariantCfg
+from tutel_tpu.ops import quant
+from tutel_tpu.ops.quant import QuantizedWeight
+from tutel_tpu.ops import fused_ffn_pallas as fp
+from tutel_tpu.ops import w8a8_pallas
+
+
+def _topology(name):
+    try:
+        from jax.experimental import topologies
+        return list(topologies.get_topology_desc(name, "tpu").devices)
+    except Exception as e:  # no libtpu in this environment
+        pytest.skip(f"TPU AOT topology unavailable: {e}")
+
+
+def _replicated(devs):
+    return NamedSharding(Mesh(np.array(devs[:1]), ("d",)), P())
+
+
+def _spec(arr_or_shape, dtype, sharding):
+    if hasattr(arr_or_shape, "shape"):
+        return jax.ShapeDtypeStruct(arr_or_shape.shape, arr_or_shape.dtype,
+                                    sharding=sharding)
+    return jax.ShapeDtypeStruct(arr_or_shape, dtype, sharding=sharding)
+
+
+# ---------------------------------------------------------------------------
+# Mosaic kernel lowering at production sizes.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_integer_grouped_gemm_mosaic_compiles(bits):
+    """W8A8 / W4A8 grouped GEMM lowers through Mosaic for v5e at the
+    2048x2048 production config (the advisor's VMEM concern and the
+    round-2 'never compiled on TPU' gap, at the compile level)."""
+    rep = _replicated(_topology("v5e:2x4"))
+    e_, c, k, n = 8, 512, 2048, 2048
+    qw = quant.quantize_expert_params(
+        {"fc1_w": jnp.zeros((e_, k, n), jnp.float32)}, bits=bits)["fc1_w"]
+
+    def f(x, v, s):
+        q = QuantizedWeight(values=v, scales=s, bits=bits, orig_k=k,
+                            blocks=qw.blocks)
+        return w8a8_pallas.grouped_gemm_w8a8(x, q)
+
+    txt = jax.jit(f).lower(
+        _spec((e_, c, k), jnp.bfloat16, rep),
+        _spec(qw.values, None, rep),
+        _spec(qw.scales, None, rep)).compile().as_text()
+    assert "tpu_custom_call" in txt, "Mosaic kernel was not emitted"
+
+
+# INT4 qualifies at the 2048x2048 north-star expert; INT8's whole-
+# expert block exceeds the 5 MB stream budget there (the two-call
+# fallback serves it) and is compiled at its largest qualifying size.
+# C=128 is the north-star decode batch (1024 decode tokens / 8 local
+# experts); larger C fails the callers' 15 MB vmem_bytes ladder and
+# takes the two-call fallback (test_fused_vmem_ladder_rejects_large_c).
+@pytest.mark.parametrize("bits,k,h", [(4, 2048, 2048), (8, 1024, 1024)])
+def test_fused_ffn_stream_mosaic_compiles(bits, k, h):
+    """The fused whole-expert weight-only FFN kernel compiles for v5e."""
+    rep = _replicated(_topology("v5e:2x4"))
+    e_, c = 8, 128
+    fc1 = quant.quantize_expert_params(
+        {"fc1_w": jnp.zeros((e_, k, h), jnp.float32)}, bits=bits)["fc1_w"]
+    fc2 = quant.quantize_expert_params(
+        {"fc1_w": jnp.zeros((e_, h, k), jnp.float32)}, bits=bits)["fc1_w"]
+    stream = fp.prepare_fused_ffn(fc1, fc2)
+    assert stream is not None
+
+    def f(x, w, sb):
+        st = dataclasses.replace(stream, wstream=w, sb=sb)
+        return fp.fused_ffn_quant(x, st)
+
+    txt = jax.jit(f).lower(
+        _spec((e_, c, k), jnp.bfloat16, rep),
+        _spec(stream.wstream, None, rep),
+        _spec(stream.sb, None, rep)).compile().as_text()
+    assert "tpu_custom_call" in txt, "Mosaic kernel was not emitted"
+
+
+def test_fused_w8a8_stream_mosaic_compiles():
+    """The round-3 integer-domain fused stream (W4A8: INT4 wire bytes,
+    in-kernel unpack to int8, int32 MXU accumulation, hidden
+    re-quantized in VMEM) compiles for v5e at production size."""
+    rep = _replicated(_topology("v5e:2x4"))
+    e_, c, k, h = 8, 128, 2048, 2048
+    fc1 = quant.quantize_expert_params(
+        {"fc1_w": jnp.zeros((e_, k, h), jnp.float32)}, bits=4)["fc1_w"]
+    fc2 = quant.quantize_expert_params(
+        {"fc1_w": jnp.zeros((e_, h, k), jnp.float32)}, bits=4)["fc1_w"]
+    stream = fp.prepare_fused_ffn(fc1, fc2)
+    assert stream is not None
+
+    def f(x, w, sb):
+        st = dataclasses.replace(stream, wstream=w, sb=sb)
+        return fp.fused_ffn_w8a8(x, st)
+
+    txt = jax.jit(f).lower(
+        _spec((e_, c, k), jnp.bfloat16, rep),
+        _spec(stream.wstream, None, rep),
+        _spec(stream.sb, None, rep)).compile().as_text()
+    assert "tpu_custom_call" in txt, "Mosaic kernel was not emitted"
+
+
+def test_fused_swiglu_stream_mosaic_compiles():
+    """The 3-phase SwiGLU stream (llama_ffn experts) compiles for v5e."""
+    rep = _replicated(_topology("v5e:2x4"))
+    e_, c, k, h = 8, 128, 2048, 2048
+
+    def q(shape):
+        return quant.quantize_expert_params(
+            {"fc1_w": jnp.zeros(shape, jnp.float32)}, bits=4)["fc1_w"]
+
+    stream = fp.prepare_fused_swiglu(q((e_, k, h)), q((e_, k, h)),
+                                     q((e_, h, k)))
+    assert stream is not None
+
+    def f(x, w, sb):
+        st = dataclasses.replace(stream, wstream=w, sb=sb)
+        return fp.fused_swiglu_quant(x, st)
+
+    txt = jax.jit(f).lower(
+        _spec((e_, c, k), jnp.bfloat16, rep),
+        _spec(stream.wstream, None, rep),
+        _spec(stream.sb, None, rep)).compile().as_text()
+    assert "tpu_custom_call" in txt, "Mosaic kernel was not emitted"
+
+
+def test_fused_vmem_ladder_rejects_large_c():
+    """At C=512 the whole-expert stream needs ~18 MB of VMEM (> the
+    16 MB/core limit — a direct kernel call fails XLA's scoped-vmem
+    check), so the production entry's vmem_bytes ladder must refuse the
+    fused kernel and the two-call fallback must still compile for TPU.
+    This is exactly the failure interpret-mode tests cannot see."""
+    rep = _replicated(_topology("v5e:2x4"))
+    e_, c, k, h = 8, 512, 2048, 2048
+    fc1 = quant.quantize_expert_params(
+        {"fc1_w": jnp.zeros((e_, k, h), jnp.float32)}, bits=4)["fc1_w"]
+    fc2 = quant.quantize_expert_params(
+        {"fc1_w": jnp.zeros((e_, h, k), jnp.float32)}, bits=4)["fc1_w"]
+    stream = fp.prepare_fused_ffn(fc1, fc2)
+    assert stream is not None
+    assert all(fp.vmem_bytes_w8a8(stream, c, jnp.bfloat16, ch)
+               > 15 * 1024 * 1024 for ch in (512, 256, 128)), (
+        "estimator accepts a config XLA rejects — ladder is unsafe")
+
+    def f(x, v1, s1, v2, s2, w, sb):
+        params = {
+            "fc1_w": QuantizedWeight(values=v1, scales=s1, bits=4,
+                                     orig_k=k, blocks=1),
+            "fc2_w": QuantizedWeight(values=v2, scales=s2, bits=4,
+                                     orig_k=h, blocks=1),
+            "fused_stream": dataclasses.replace(stream, wstream=w, sb=sb),
+        }
+        return w8a8_pallas.w8a8_ffn(x, params, None, jax.nn.gelu, k)
+
+    txt = jax.jit(f).lower(
+        _spec((e_, c, k), jnp.bfloat16, rep),
+        _spec(fc1.values, None, rep), _spec(fc1.scales, None, rep),
+        _spec(fc2.values, None, rep), _spec(fc2.scales, None, rep),
+        _spec(stream.wstream, None, rep),
+        _spec(stream.sb, None, rep)).compile().as_text()
+    assert "tpu_custom_call" in txt  # two-call kernels still Mosaic
+
+
+# ---------------------------------------------------------------------------
+# Multi-host (4-process v5e:4x4) readiness.
+# ---------------------------------------------------------------------------
+
+def _layer_hlo(devs, *, use_2dh=False, num_hosts=None, ragged=0,
+               overlap=1, expert_choice=False, model_dim=256, hidden=512):
+    if expert_choice:
+        gate = {"type": "expert_choice", "capacity_factor": 1.0,
+                "gate_noise": 0.0}
+    else:
+        gate = {"type": "top", "k": 2, "capacity_factor": 1.0}
+    layer = moe.moe_layer(
+        gate_type=gate,
+        experts={"type": "ffn", "num_experts_per_device": 1,
+                 "hidden_size_per_expert": hidden},
+        model_dim=model_dim, seeds=(1, 1, 1), dtype=jnp.bfloat16,
+        use_2dh=use_2dh, num_hosts=num_hosts,
+        a2a_ffn_overlap_degree=overlap, group=devs)
+    cfg = _VariantCfg(
+        gate_index=0, top_k=2, capacity=128, adaptive_r=1,
+        overlap_degree=overlap, megablocks_size=0, training=False,
+        use_2dh=use_2dh, batch_prioritized=False,
+        ragged_max_recv=ragged, expert_choice=expert_choice)
+    fn = jax.jit(layer._build_forward(cfg))
+    params = jax.eval_shape(lambda: layer.init(jax.random.PRNGKey(0)))
+    x = jax.ShapeDtypeStruct((len(devs) * 128, model_dim), jnp.bfloat16)
+    key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    return fn.lower(params, x, key).compile(
+        compiler_options=layer._compiler_options(cfg)).as_text(), devs
+
+
+def _collective_groups(txt, opname):
+    """[(line, [[ids...], ...])] for each `opname` with replica_groups."""
+    out = []
+    for ln in txt.splitlines():
+        if opname not in ln or "replica_groups=" not in ln:
+            continue
+        m = re.search(r"replica_groups=\{(\{[^=]*\})\}", ln)
+        if not m:
+            continue
+        groups = [[int(v) for v in g.split(",") if v.strip()]
+                  for g in re.findall(r"\{([\d,]+)\}", m.group(1))]
+        out.append((ln, groups))
+    return out
+
+
+def test_2dh_emits_separate_ici_and_dcn_collectives_on_4_hosts():
+    """On the genuine 4-process v5e:4x4 topology the 2DH path must
+    decompose into an intra-host exchange (every replica group within
+    one process) and a cross-host exchange (groups spanning all 4
+    processes) — each traffic phase rides its own fabric tier."""
+    devs = _topology("v5e:4x4")
+    txt, devs = _layer_hlo(devs, use_2dh=True, num_hosts=4)
+    proc_of = {i: d.process_index for i, d in enumerate(devs)}
+    a2as = (_collective_groups(txt, "all-to-all")
+            + _collective_groups(txt, "ragged-all-to-all"))
+    assert a2as, "2DH program contains no all-to-all"
+    intra = inter = 0
+    for _, groups in a2as:
+        spans = [len({proc_of[i] for i in g}) for g in groups]
+        if all(s == 1 for s in spans):
+            intra += 1
+        elif all(s == len(g) for g, s in zip(groups, spans)):
+            inter += 1
+    assert intra >= 1, f"no intra-host (ICI) exchange phase:\n{a2as}"
+    assert inter >= 1, f"no cross-host (DCN) exchange phase:\n{a2as}"
+
+
+def test_ragged_ep_compiles_for_4_hosts():
+    """True-dropless ragged EP (lax.ragged_all_to_all) lowers for a
+    real multi-host TPU target."""
+    devs = _topology("v5e:4x4")
+    txt, _ = _layer_hlo(devs, ragged=2048)
+    assert "ragged-all-to-all" in txt
+
+
+def test_overlap_compiles_for_4_hosts():
+    """The chunked a2a/FFN overlap variant compiles multi-host with
+    async all-to-all enabled."""
+    devs = _topology("v5e:4x4")
+    txt, _ = _layer_hlo(devs, overlap=2)
+    assert re.findall(r"all-to-all-start", txt), (
+        "async all-to-all was not enabled for the overlap variant")
+
+
+def test_expert_choice_ep_compiles_for_4_hosts():
+    """The round-3 EC O(capacity) ragged exchange lowers for a real
+    multi-host TPU target (score gather + two ragged a2a legs)."""
+    devs = _topology("v5e:4x4")
+    txt, _ = _layer_hlo(devs, expert_choice=True)
+    assert "ragged-all-to-all" in txt, (
+        "EC EP must move activations via the ragged exchange")
+    for ln, groups in _collective_groups(txt, "all-gather"):
+        shapes = re.findall(r"bf16\[(\d+),(\d+)\]", ln)
+        for a, b in shapes:
+            assert int(b) != 256, f"activation all-gather leaked: {ln}"
