@@ -84,6 +84,35 @@ def main():
     _ = float(jnp.sum(next(iter(finals.values()))))
     dt = time.perf_counter() - t0
     tokens = eng.stats["tokens"]
+
+    # Device-time mode (round-2 verdict item 6): host interaction is
+    # excluded from timing — a steady-state full batch, chunks enqueued
+    # back-to-back with fetch=False (async dispatch, no device->host
+    # transfer), one trailing scalar fetch; loop differencing (n vs 3n
+    # chunks, slope only) cancels the single RTT and any constant
+    # engine-side host cost, isolating device-side engine throughput
+    # from the link.
+    def device_time_per_chunk(n_chunks, seed):
+        e = MoeDecodeEngine(layer, params, max_batch=args.batch)
+        states = reqs(seed)
+        for r in states[:args.batch]:
+            r.remaining = (3 * n_chunks + 1) * args.chunk
+            e.try_add(r)
+        e.step_chunk(args.chunk, key=jax.random.PRNGKey(seed))  # warm
+        key = jax.random.PRNGKey(100 + seed)
+        t0 = time.perf_counter()
+        for i in range(n_chunks):
+            key, sk = jax.random.split(key)
+            e.step_chunk(args.chunk, key=sk, fetch=False)
+        _ = float(jnp.sum(e._buf[0]))          # trailing fetch
+        return time.perf_counter() - t0
+
+    n = max(2, 24 // args.chunk)
+    t_n = device_time_per_chunk(n, 3)
+    t_3n = device_time_per_chunk(3 * n, 3)
+    dev_chunk = (t_3n - t_n) / (2 * n)
+    dev_tps = args.batch * args.chunk / dev_chunk if dev_chunk > 0 else 0
+
     print(json.dumps({
         "metric": "serving_engine_tokens_per_sec",
         "value": round(tokens / dt, 1),
@@ -95,6 +124,9 @@ def main():
         "wall_s": round(dt, 3),
         "tokens": tokens,
         "engine_steps": eng.stats["steps"],
+        "device_tokens_per_sec": round(dev_tps, 1),
+        "device_chunk_ms": round(dev_chunk * 1e3, 3),
+        "device_method": "loop-differenced (n vs 3n fetch-free chunks)",
     }))
 
 

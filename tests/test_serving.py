@@ -116,6 +116,41 @@ def _ref_generate(model, params, prompt, n, ov):
     return seq[len(prompt):]
 
 
+def test_step_chunk_fetch_false_matches_fetched():
+    """fetch=False chunks (device-time benchmarking mode) advance the
+    slot buffer and bookkeeping identically to fetched chunks — only
+    the device->host transfer and the results dict are skipped."""
+    layer = _layer()
+    params = layer.init(jax.random.PRNGKey(0))
+
+    def admit(eng):
+        for i in range(3):
+            eng.try_add(Request(
+                uid=i, state=np.asarray(jax.random.normal(
+                    jax.random.fold_in(jax.random.PRNGKey(2), i), (32,))),
+                remaining=8))
+
+    ea, eb = (MoeDecodeEngine(layer, params, max_batch=4)
+              for _ in range(2))
+    admit(ea)
+    admit(eb)
+    k = jax.random.PRNGKey(5)
+    ra = ea.step_chunk(2, key=k)
+    rb = eb.step_chunk(2, key=k, fetch=False)
+    assert rb == {} and set(ra) == {0, 1, 2}
+    np.testing.assert_array_equal(np.asarray(ea._buf), np.asarray(eb._buf))
+    assert ea.stats["steps"] == eb.stats["steps"] == 2
+    assert ea.stats["tokens"] == eb.stats["tokens"] == 6
+    # the NEXT fetched chunk returns identical outputs on both engines
+    k2 = jax.random.PRNGKey(6)
+    ra2, rb2 = ea.step_chunk(2, key=k2), eb.step_chunk(2, key=k2)
+    for uid in ra2:
+        np.testing.assert_array_equal(ra2[uid], rb2[uid])
+    # time-based retirement still happens under fetch=False
+    eb.step_chunk(4, key=jax.random.PRNGKey(7), fetch=False)
+    assert eb.stats["finished"] == 3 and eb.active == 0
+
+
 def test_lm_engine_matches_full_forward():
     """LmDecodeEngine's KV-cache greedy decode produces the same tokens
     as re-running the full forward per step."""

@@ -1,9 +1,11 @@
 """Config autotuner: time candidate configs, pick the fastest, persist.
 
-Measurement method: the candidate step is chained N times inside one jit
-(`lax.fori_loop`), so the cost is device time — the parted executor's
-5-warmup/5-average pattern (reference parted/backend/torch/executor.py:
-106-110) without host-dispatch noise.
+Measurement method: the candidate step is chained inside one jit
+(`lax.fori_loop`) and timed by loop differencing (n vs 3n iterations,
+slope only) — the parted executor's 5-warmup/5-average pattern
+(reference parted/backend/torch/executor.py:106-110) with both the
+host-dispatch and the host->device RTT cancelled, so rankings remain
+valid on remote-attached devices.
 """
 
 import json
@@ -39,39 +41,49 @@ class ConfigStore:
 
 
 def _time_chained(step: Callable, init, iters: int) -> float:
+    """Per-step device time by LOOP DIFFERENCING: time `iters` and
+    `3*iters` chained steps through ONE executable and take the slope.
+    A single timed dispatch carries the full host->device round trip
+    (30-450 ms over remote-attached tunnels) — amortizing it by 1/iters
+    adds a constant bias that can mis-rank candidates; differencing
+    cancels it exactly (the same method as bench.py / RESULTS.md)."""
     import jax.numpy as jnp
 
     @jax.jit
-    def run(c):
-        return lax.fori_loop(0, iters, step, c)
+    def run(c, n):
+        # traced bound -> one executable serves both loop lengths
+        return lax.fori_loop(0, n, step, c, unroll=False)
 
     def force(r):
         # scalar fetch: block_until_ready can return before device
         # completion on remote-attached device channels
         return float(jnp.sum(jax.tree.leaves(r)[-1]))
 
-    force(run(init))
-    # perturb the timed call's input: a repeated identical
-    # (executable, args) pair may be served from an execution cache.
-    # Perturb ONE floating leaf (any rank) — a scalar-only rule would
-    # silently no-op for carries without scalar floats.
-    done = [False]
+    def bump(tree, scale):
+        # perturb ONE floating leaf (any rank): a repeated identical
+        # (executable, args) pair may be served from an execution
+        # cache. The delta must survive rounding at the leaf's
+        # magnitude in any float dtype (a fixed tiny epsilon is a
+        # bitwise no-op for f32/bf16 values of ordinary size).
+        done = [False]
 
-    def bump(t):
-        if not done[0] and jnp.issubdtype(
-                getattr(t, "dtype", jnp.int32), jnp.floating):
-            done[0] = True
-            # the delta must survive rounding at the leaf's magnitude
-            # in any float dtype (a fixed tiny epsilon is a bitwise
-            # no-op for f32/bf16 values of ordinary size)
-            return t + jnp.maximum(jnp.abs(t), 1.0).astype(t.dtype) \
-                * jnp.asarray(1e-3, t.dtype)
-        return t
+        def f(t):
+            if not done[0] and jnp.issubdtype(
+                    getattr(t, "dtype", jnp.int32), jnp.floating):
+                done[0] = True
+                return t + jnp.maximum(jnp.abs(t), 1.0).astype(t.dtype) \
+                    * jnp.asarray(scale, t.dtype)
+            return t
+        return jax.tree.map(f, tree)
 
-    init2 = jax.tree.map(bump, init)
+    force(run(init, jnp.int32(iters)))           # compile + warm
     t0 = time.perf_counter()
-    force(run(init2))
-    return (time.perf_counter() - t0) / iters
+    force(run(bump(init, 1e-3), jnp.int32(iters)))
+    t_n = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    force(run(bump(init, 2e-3), jnp.int32(3 * iters)))
+    t_3n = time.perf_counter() - t0
+    return max((t_3n - t_n) / (2 * iters), 1e-9)
 
 
 def tune(make_step: Callable[[Any], Any], configs: List[Any], init,

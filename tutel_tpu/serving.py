@@ -156,7 +156,8 @@ class MoeDecodeEngine:
         """
         return self.step_chunk(1, key=key)
 
-    def step_chunk(self, n_steps: int, key=None) -> Dict[Any, jnp.ndarray]:
+    def step_chunk(self, n_steps: int, key=None, fetch: bool = True
+                   ) -> Dict[Any, jnp.ndarray]:
         """Run `n_steps` decode steps in ONE device dispatch.
 
         Continuous batching admits/retires requests only at chunk
@@ -165,6 +166,14 @@ class MoeDecodeEngine:
         multi-step scheduling in serving stacks); chunk=1 is the plain
         per-step loop. All buffer updates are vectorized — no per-row
         device ops on the host path.
+
+        fetch=False skips the device->host output transfer entirely:
+        the chunk's dispatches enqueue asynchronously, states stay in
+        the device-side slot buffer, and {} is returned. Retirement is
+        time-based so bookkeeping still advances, but a request retired
+        under fetch=False loses its final output — use it for chained
+        steady-state chunks (device-time benchmarking, speculative
+        scheduling) and fetch the last chunk normally.
         """
         if self.active == 0:
             return {}
@@ -230,6 +239,18 @@ class MoeDecodeEngine:
             [r is not None for r in self._slots], bool)
         self._buf = jnp.where(active_mask[:, None],
                               jnp.take(out, inv, axis=0), self._buf)
+
+        if not fetch:
+            for slot in order[:n_valid]:
+                req = self._slots[slot]
+                req.remaining -= n_steps
+                if req.remaining <= 0:
+                    self._slots[slot] = None
+                    self._free.append(slot)
+                    self.stats["finished"] += 1
+            self.stats["steps"] += n_steps
+            self.stats["tokens"] += n_valid * n_steps
+            return {}
 
         # ONE batched device->host transfer for this chunk's outputs;
         # per-row lazy slices would be one device op (and one link
