@@ -162,3 +162,24 @@ def test_zero_optimizer_matches_single_device():
         np.testing.assert_allclose(np.asarray(got[k]),
                                    np.asarray(expect[k]), rtol=1e-5,
                                    atol=1e-6)
+
+
+def test_pre_post_expert_permute_oracle_and_roundtrip():
+    """reference communicate.py:606-622 vocabulary: source-major rows ->
+    expert-major blocks and back. Checked against a literal NumPy
+    transcription of the reference's view/permute chain, plus the
+    round-trip identity and the w=1 no-op."""
+    from tutel_tpu import net
+    rng = np.random.default_rng(0)
+    for w, l, d1, rest in ((4, 6, 3, (5,)), (2, 8, 4, ()), (8, 2, 1, (2, 3))):
+        x = jnp.asarray(rng.standard_normal((w * l, d1) + rest), jnp.float32)
+        y = net.pre_expert_permute(x, w)
+        xn = np.asarray(x)
+        want = xn.reshape((w, l, d1) + rest)
+        want = np.moveaxis(want, 0, 1).reshape((l, w * d1) + rest)
+        np.testing.assert_array_equal(np.asarray(y), want)
+        back = net.post_expert_permute(y, w)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+    x = jnp.ones((4, 3))
+    assert net.pre_expert_permute(x, 1) is x
+    assert net.post_expert_permute(x, 1) is x

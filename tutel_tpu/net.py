@@ -157,6 +157,33 @@ def spatial_split(x, axis, dim=0):
     return simple_split(x, axis, dim=dim)
 
 
+def pre_expert_permute(x, axis):
+    """Local relayout between the dispatch a2a and the expert compute
+    (reference communicate.py:606-613): rows arrive grouped by SOURCE
+    device ([W, E_local*C, ...] flattened); regroup them expert-major so
+    each local expert sees one contiguous [W*C]-row block. Pure reshape
+    — no collective; `axis` is a mesh axis name (or tuple) or an int
+    world size. Inverse of `post_expert_permute`."""
+    w = axis if isinstance(axis, int) else lax.axis_size(axis)
+    if w == 1:
+        return x
+    y = x.reshape(w, x.shape[0] // w, *x.shape[1:])
+    y = jnp.swapaxes(y, 0, 1)
+    return y.reshape(y.shape[0], -1, *x.shape[2:])
+
+
+def post_expert_permute(x, axis):
+    """Inverse of `pre_expert_permute` (reference
+    communicate.py:615-622): expert-major rows back to source-major for
+    the combine a2a."""
+    w = axis if isinstance(axis, int) else lax.axis_size(axis)
+    if w == 1:
+        return x
+    y = x.reshape(x.shape[0], w, x.shape[1] // w, *x.shape[2:])
+    y = jnp.swapaxes(y, 0, 1)
+    return y.reshape(-1, *y.shape[2:])
+
+
 # ---------------------------------------------------------------------------
 # Variable-length collectives (reference communicate.py:225-255 wrapping
 # custom_kernel.cpp:463-518 batch_all_to_all_v / batch_all_gather_v).
