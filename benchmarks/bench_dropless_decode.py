@@ -21,6 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 def run(args):
     import jax
+    if os.environ.get("JAX_PLATFORMS"):
+        # honor a forced platform (env var alone does not override the
+        # container's force-registered tunneled TPU plugin)
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
     from jax import lax
     from tutel_tpu import moe
@@ -28,9 +32,18 @@ def run(args):
 
     platform = jax.devices()[0].platform
     dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
+    ec = args.gate == "expert_choice"
+    if ec:
+        # experts-pick-tokens: capacity_factor = avg experts per token,
+        # so C = cf*S/E and the per-expert load is exact by construction
+        # (balanced — no capacity probe, no dropless two-phase)
+        gate_cfg = {"type": "expert_choice", "gate_noise": 0.0,
+                    "capacity_factor": float(args.top)}
+    else:
+        gate_cfg = {"type": "top", "k": args.top,
+                    "capacity_factor": 0.0}           # dropless
     layer = moe.moe_layer(
-        gate_type={"type": "top", "k": args.top,
-                   "capacity_factor": 0.0},           # dropless
+        gate_type=gate_cfg,
         experts={"type": "ffn", "num_experts_per_device": args.experts,
                  "hidden_size_per_expert": args.hidden,
                  "has_fc1_bias": False, "has_fc2_bias": False,
@@ -60,10 +73,15 @@ def run(args):
 
     x = jax.random.normal(jax.random.PRNGKey(1),
                           (args.tokens, args.model_dim)).astype(dtype)
-    # Dropless static capacity from a host-side probe, bucketed
-    # (the two-phase dispatch; per-step drift stays inside the bucket).
-    cap = layer.resolve_capacity(params, x, top_k=args.top)
-    cap = max(cap, 8)
+    if ec:
+        # EC capacity is static by construction: C = cf * S / E
+        cap = max(1, args.top * args.tokens // args.experts)
+    else:
+        # Dropless static capacity from a host-side probe, bucketed
+        # (the two-phase dispatch; per-step drift stays inside the
+        # bucket).
+        cap = layer.resolve_capacity(params, x, top_k=args.top)
+        cap = max(cap, 8)
 
     # params must be jit *arguments* (closed-over arrays embed as HLO
     # constants — hundreds of MB the remote-compile channel rejects).
@@ -103,10 +121,12 @@ def run(args):
     dt = max(t3 - t1, 1e-9) / (2 * args.iters)
     tokens_per_sec = args.tokens / dt
     print(json.dumps({
-        "metric": "dropless_decode_tokens_per_sec_per_chip",
+        "metric": ("ec_decode_tokens_per_sec_per_chip" if ec else
+               "dropless_decode_tokens_per_sec_per_chip"),
         "value": round(tokens_per_sec, 1),
         "unit": "tokens/s",
         "config": {"experts": args.experts, "bits": args.bits,
+                   "gate": args.gate,
                    "top": args.top, "model_dim": args.model_dim,
                    "hidden": args.hidden, "tokens": args.tokens,
                    "capacity": int(cap), "platform": platform},
@@ -121,7 +141,11 @@ def main():
     parser.add_argument("--model_dim", type=int, default=2048)
     parser.add_argument("--hidden", type=int, default=2048)
     parser.add_argument("--tokens", type=int, default=256)
-    parser.add_argument("--top", type=int, default=2)
+    parser.add_argument("--top", type=int, default=2,
+                        help="top-k (token-choice) or avg experts per "
+                             "token (expert-choice capacity factor)")
+    parser.add_argument("--gate", type=str, default="top",
+                        choices=("top", "expert_choice"))
     parser.add_argument("--bits", type=int, default=4)
     parser.add_argument("--megablocks_size", type=int, default=0)
     parser.add_argument("--fused", type=int, default=1,

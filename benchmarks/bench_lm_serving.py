@@ -100,6 +100,31 @@ def main():
     finals = eng.run(reqs(), chunk=args.chunk)
     dt = time.perf_counter() - t0
     tokens = eng.stats["tokens"] + eng.stats["joined"]  # incl. prefill tok
+
+    # Device-time column: steady-state full batch, fetch-free chunks
+    # enqueued back-to-back, one trailing scalar fetch; loop
+    # differencing (n vs 3n chunks) cancels the RTT and constant host
+    # cost, isolating device-side engine throughput from the link.
+    def device_time(n_chunks):
+        e = LmDecodeEngine(model, params, max_batch=args.batch,
+                           moe_overrides=ov)
+        rs = reqs()[:args.batch]
+        for r in rs:
+            r.max_new_tokens = (3 * n_chunks + 1) * args.chunk
+        for r in rs:
+            e.try_add(r)
+        e.step_chunk(args.chunk)                      # warm
+        t0 = time.perf_counter()
+        for _ in range(n_chunks):
+            e.step_chunk(args.chunk, fetch=False)
+        _ = int(jax.device_get(e._tok[0]))            # trailing fetch
+        return time.perf_counter() - t0
+
+    n = max(2, 16 // args.chunk)
+    t_n, t_3n = device_time(n), device_time(3 * n)
+    dev_chunk = (t_3n - t_n) / (2 * n)
+    dev_tps = (args.batch * args.chunk / dev_chunk) if dev_chunk > 0 else 0
+
     print(json.dumps({
         "metric": "lm_serving_tokens_per_sec",
         "value": round(tokens / dt, 1),
@@ -114,6 +139,9 @@ def main():
         "wall_s": round(dt, 3),
         "generated_tokens": int(tokens),
         "engine_steps": eng.stats["steps"],
+        "device_tokens_per_sec": round(dev_tps, 1),
+        "device_chunk_ms": round(dev_chunk * 1e3, 3),
+        "device_method": "loop-differenced (n vs 3n fetch-free chunks)",
     }))
 
 

@@ -193,6 +193,37 @@ def test_lm_engine_continuous_batching():
             r.uid, finals[r.uid].tolist(), want)
 
 
+def test_lm_step_chunk_fetch_false_keeps_device_state():
+    """fetch=False LM chunks skip the token fetch but keep the KV cache
+    and positions advancing: the NEXT fetched chunk produces the same
+    tokens as an engine that fetched every chunk."""
+    from tutel_tpu.serving import LmDecodeEngine, LmRequest
+    model, cfg = _lm_model()
+    params = model.init(jax.random.PRNGKey(0))
+    ov = {"capacity_factor": 8.0}
+    rng = np.random.RandomState(1)
+
+    def mk():
+        e = LmDecodeEngine(model, params, max_batch=2, moe_overrides=ov)
+        for i in range(2):
+            e.try_add(LmRequest(
+                uid=i, prompt=rng.randint(0, cfg.vocab_size,
+                                          size=4).astype(np.int32),
+                max_new_tokens=7))
+        return e
+
+    rng = np.random.RandomState(1)
+    ea = mk()
+    rng = np.random.RandomState(1)
+    eb = mk()
+    ra1 = ea.step_chunk(3)
+    rb1 = eb.step_chunk(3, fetch=False)
+    assert rb1 == {} and set(ra1) == {0, 1}
+    assert ea.stats["tokens"] == eb.stats["tokens"]
+    ra2, rb2 = ea.step_chunk(3), eb.step_chunk(3)
+    assert ra2 == rb2 and set(ra2) == {0, 1}
+
+
 def test_engine_auto_fuses_quantized_params():
     """The engine prepares the fused weight stream for quantized expert
     params automatically (auto_fuse=True default; opt-out supported)."""

@@ -447,9 +447,17 @@ class LmDecodeEngine:
             cache[(n_steps, self._ov_key)] = fn
         return fn
 
-    def step_chunk(self, n_steps: int) -> Dict[Any, List[int]]:
+    def step_chunk(self, n_steps: int, fetch: bool = True
+                   ) -> Dict[Any, List[int]]:
         """Decode `n_steps` greedy tokens for every active slot in ONE
-        device dispatch. Returns {uid: new tokens this chunk}."""
+        device dispatch. Returns {uid: new tokens this chunk}.
+
+        fetch=False skips the device->host token transfer: the chunk
+        enqueues asynchronously and {} is returned. The KV cache and
+        position state stay correct (decode continues from the true
+        device-side state), but this chunk's generated tokens are NOT
+        recorded in the host-side history — a device-time benchmarking
+        mode, not a serving mode."""
         self._flush_admissions()
         # a request whose budget was consumed by the prefill's first
         # token retires without decoding
@@ -465,6 +473,18 @@ class LmDecodeEngine:
                        enumerate(self._slots) if r is not None]))
         self.cache, self._tok, self._pos, toks = self._decode_fn(n_steps)(
             self.params, self.cache, self._tok, self._pos)
+        if not fetch:
+            for slot, req in enumerate(self._slots):
+                if req is None:
+                    continue
+                self._remaining[slot] -= n_steps
+                self.stats["tokens"] += n_steps
+                if self._remaining[slot] <= 0:
+                    self._slots[slot] = None
+                    self._free.append(slot)
+                    self.stats["finished"] += 1
+            self.stats["steps"] += n_steps
+            return {}
         toks_np = np.asarray(jax.device_get(toks))     # [n_steps, B]
 
         results: Dict[Any, List[int]] = {}
