@@ -490,16 +490,16 @@ class MOELayer:
         if ec_mode:
             # Expert-choice: capacity_factor is the average number of
             # experts per token, so C = cf * S / E; balanced by
-            # construction (ops/expert_choice.py). Under EP the top-C
-            # sees the global token pool via a score-only all_gather;
-            # activations travel by a ragged a2a sized by the selection
-            # (O(capacity) wire — pure-EP layouts only).
+            # construction (ops/expert_choice.py). Under EP (and
+            # expert-slicing TP) the top-C sees the global token pool
+            # via a score-only all_gather; activations travel by a
+            # ragged a2a sized by the selection (O(capacity) wire,
+            # x sharded_count under TP since every slice holder needs
+            # the rows). 2DH's ('dcn','ici') mesh is not wired for EC.
             assert not use_ragged_ep and (
-                self.world_size == 1
-                or (self.sharded_count == 1 and not self._flat_2dh())), (
-                "expert-choice routing is a single-program selection "
-                "over the token pool; multi-device needs a pure-EP "
-                "layout (sharded_count == 1, no 2DH)")
+                self.world_size == 1 or not self._flat_2dh()), (
+                "expert-choice routing does not compose with ragged EP "
+                "or the 2DH mesh")
             if capacity_override is not None:
                 cap = int(capacity_override)
             else:
@@ -934,12 +934,15 @@ class MOELayer:
                                               dtype=logits.dtype)
                     logits = logits + gate.gate_noise * noise / e_global
                 scores = jax.nn.softmax(logits, axis=1)
+                sharded = self.sharded_count
+                e_local = e_global * max(sharded, 1) // max(w, 1) \
+                    if w > 1 else e_global
                 ctx = SimpleNamespace(
                     megablocks_size=0,
-                    dispatch_count=jnp.full(
-                        (e_global // max(w, 1) if w > 1 else e_global,),
-                        cfg.capacity, jnp.int32),
-                    adaptive_degree=1, sharded_count=self.sharded_count,
+                    dispatch_count=jnp.full((e_local,), cfg.capacity,
+                                            jnp.int32),
+                    adaptive_degree=max(cfg.adaptive_r, 1),
+                    sharded_count=sharded,
                     num_global_experts=e_global,
                     platform=self.devices[0].platform)
                 if w == 1:
@@ -951,15 +954,22 @@ class MOELayer:
                                            self.is_postscore)
                     return out, ec_ops.router_z_loss(logits, token_mask)
 
-                # EP: the EC top-C must see every token's SCORE, but
-                # only the selected tokens' ACTIVATIONS. Gather the tiny
-                # [S, E] score matrix (and mask), run the replicated
-                # top-C everywhere, then move just the chosen rows with
-                # a ragged a2a sized exactly E_local*C on the receive
-                # side — wire cost O(capacity * M) per leg, not the
-                # O(W * S * M) of a full-activation all_gather
+                # EP (x TP): the EC top-C must see every token's SCORE,
+                # but only the selected tokens' ACTIVATIONS. Gather the
+                # tiny [S, E] score matrix (and mask), run the
+                # replicated top-C everywhere, then move just the chosen
+                # rows with a ragged a2a sized exactly E_local*C on the
+                # receive side — wire cost O(capacity * M) per leg, not
+                # the O(W * S * M) of a full-activation all_gather
                 # (ops/expert_choice.py ec_ep_* for the plan/exchange).
-                e_local = e_global // w
+                # Under expert-slicing TP the `sharded` devices of one
+                # mesh 'e' row each receive the same rows (replicas in
+                # the plan), compute partial (r-sliced) or duplicate
+                # (gathered, g-fold) expert outputs, and the combine's
+                # scatter-ADD performs the partial-sum reduction on each
+                # token's owner — duplicates are pre-scaled by 1/g so
+                # the sum counts every expert once (bias rides the
+                # regather's fc*_b/r discipline, summing to one bias).
                 native = self.devices[0].platform == "tpu"
                 sc_g = lax.all_gather(scores, ep_axes, axis=0,
                                       tiled=True)
@@ -969,22 +979,60 @@ class MOELayer:
                                             axis=0, tiled=True)
                 ec = ec_ops.expert_choice_routing(sc_g, cfg.capacity,
                                                   mask_g)
+                s_loc = x_local.shape[0]
+                if cfg.adaptive_r == 0:
+                    # data-parallel experts (token-choice's no-a2a
+                    # branch): full weights gathered locally, so each
+                    # device computes the slots its OWN tokens won —
+                    # zero activation wire. Dead (foreign) slots carry
+                    # gate 0 and OOB indices; encode clamps them to
+                    # junk rows that the gate zeroes, decode drops them.
+                    eff = self._gather_expert_params(expert_params, cfg)
+                    mine = (ec.indices // s_loc) == idx
+                    loc = ec_ops.ECRouting(
+                        indices=jnp.where(
+                            mine, ec.indices - idx * s_loc,
+                            s_loc).astype(jnp.int32),
+                        gates=jnp.where(mine, ec.gates, 0),
+                        capacity=ec.capacity)
+                    ctx.dispatch_count = jnp.full(
+                        (e_global,), cfg.capacity, jnp.int32)
+                    y = ec_ops.ec_encode(
+                        jnp.pad(x_local, ((0, 1), (0, 0))), loc,
+                        self.is_postscore)
+                    y = self._apply_experts(eff, y, ctx)
+                    out = ec_ops.ec_decode(y, loc, s_loc,
+                                           self.is_postscore)
+                    zsum, zcnt = ec_ops.router_z_loss_parts(logits,
+                                                            token_mask)
+                    return out, (lax.psum(zsum, ep_axes)
+                                 / jnp.maximum(lax.psum(zcnt, ep_axes),
+                                               1))
                 plan = ec_ops.ec_ep_plan(ec.indices, idx,
-                                         x_local.shape[0], w)
+                                         x_local.shape[0], w,
+                                         replicas=max(sharded, 1))
+                row = idx // max(sharded, 1)
                 gates_local = lax.dynamic_slice_in_dim(
-                    ec.gates, idx * e_local, e_local, 0)
+                    ec.gates, row * e_local, e_local, 0)
                 y = ec_ops.ec_ep_dispatch(x_local, plan, ep_axes,
                                           e_local, ec.capacity,
                                           native=native)
                 if not self.is_postscore:
                     y = y * gates_local[..., None].astype(y.dtype)
-                y = self._apply_experts(expert_params, y, ctx)
+                eff = expert_params
+                if sharded > 1:
+                    eff = self._gather_expert_params(expert_params, cfg)
+                y = self._apply_experts(eff, y, ctx)
                 if self.is_postscore:
                     y = y * gates_local[..., None].astype(y.dtype)
                 else:
                     # dead slots (gate 0) must not scatter expert-bias
                     # rows to arbitrary tokens (see ec_decode)
                     y = y * (gates_local[..., None] != 0).astype(y.dtype)
+                dup = (sharded // cfg.adaptive_r if cfg.adaptive_r > 0
+                       else sharded)
+                if dup > 1:
+                    y = y / dup
                 out = ec_ops.ec_ep_combine(y, plan, x_local.shape[0],
                                            ep_axes, native=native)
                 # valid-count-weighted z-loss: psum the (sum, count)

@@ -134,7 +134,7 @@ class ECPlan(NamedTuple):
     inv_perm: jnp.ndarray     # [L] receive order -> slot order
 
 
-def ec_ep_plan(indices, my_idx, num_local_tokens, world):
+def ec_ep_plan(indices, my_idx, num_local_tokens, world, replicas=1):
     """Build the ragged-exchange plan from global EC indices.
 
     Args:
@@ -142,12 +142,18 @@ def ec_ep_plan(indices, my_idx, num_local_tokens, world):
       my_idx: this device's EP index (traced scalar is fine).
       num_local_tokens: s — tokens owned per device (S = w*s).
       world: W static EP world size.
+      replicas: devices per expert group (TP expert-slicing: the
+        `sharded_count` consecutive flat devices of one mesh 'e' row
+        hold slices of the SAME experts, so each must receive the same
+        selected rows — the wire pays the replication factor, exactly
+        like token-choice TP's repeat-r dispatch).
     """
     e, c = indices.shape
     s = num_local_tokens
-    e_local = e // world
+    e_local = e * replicas // world
     l = e_local * c
-    ids_by_d = indices.reshape(world, l)                    # [W, L]
+    ids_by_d = jnp.repeat(indices.reshape(world // replicas, l),
+                          replicas, axis=0)                 # [W, L]
     owner = ids_by_d // s                                   # [W, L]
     mine = owner == my_idx
     send_counts = mine.sum(axis=1).astype(jnp.int32)        # [W]
