@@ -377,16 +377,49 @@ def test_ec_tp_quantized_matches_single_device():
                                    atol=1e-4, err_msg=f"bits={bits}")
 
 
-def test_ec_rejects_2dh_layout():
-    with pytest.raises(AssertionError, match="2DH"):
+def test_ec_on_2dh_mesh_matches_single_device():
+    """EC on the hierarchical ('dcn','ici') mesh: the ragged exchange
+    runs flat over both tiers — forward and grads equal single-device
+    exactly (round-3 lift; a hierarchical ragged decomposition would be
+    a perf refinement only)."""
+    def make(n, use_2dh):
+        return moe.moe_layer(
+            gate_type={"type": "expert_choice", "capacity_factor": 2.0,
+                       "gate_noise": 0.0},
+            experts={"type": "ffn", "num_experts_per_device": 8 // n,
+                     "hidden_size_per_expert": 64},
+            model_dim=32, seeds=(1, 1, 1), use_2dh=use_2dh,
+            num_hosts=2 if use_2dh else None, group=jax.devices()[:n])
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 32))
+    l1, l8 = make(1, False), make(8, True)
+    params = l1.init(jax.random.PRNGKey(0))
+    ref, zl1 = l1(params, x)
+    p8 = l8.shard_params(params)
+    out, zl8 = l8(p8, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5)
+    np.testing.assert_allclose(float(zl8), float(zl1), rtol=1e-5)
+
+    def loss(layer, p, xx):
+        o, z = layer(p, xx, training=True)
+        return jnp.mean(o ** 2) + 0.01 * z
+
+    g1 = jax.grad(lambda xx: loss(l1, params, xx))(x)
+    g8 = jax.grad(lambda xx: loss(l8, p8, xx))(x)
+    np.testing.assert_allclose(np.asarray(g8), np.asarray(g1), atol=5e-6)
+
+
+def test_ec_rejects_ragged_ep_flag():
+    with pytest.raises(AssertionError, match="exactly-sized"):
         layer = moe.moe_layer(
             gate_type={"type": "expert_choice", "capacity_factor": 2.0},
             experts={"type": "ffn", "num_experts_per_device": 1,
                      "hidden_size_per_expert": 16},
-            model_dim=16, seeds=(1, 1, 1), use_2dh=True, num_hosts=2,
-            group=jax.devices()[:8])
+            model_dim=16, seeds=(1, 1, 1), group=jax.devices()[:8])
         params = layer.init(jax.random.PRNGKey(0))
-        layer(params, jnp.zeros((64, 16)))
+        layer(params, jnp.zeros((64, 16)), use_ragged_ep=True,
+              max_recv=64)
 
 
 def test_ec_fuzz_vs_numpy_oracle():

@@ -495,11 +495,14 @@ class MOELayer:
             # via a score-only all_gather; activations travel by a
             # ragged a2a sized by the selection (O(capacity) wire,
             # x sharded_count under TP since every slice holder needs
-            # the rows). 2DH's ('dcn','ici') mesh is not wired for EC.
-            assert not use_ragged_ep and (
-                self.world_size == 1 or not self._flat_2dh()), (
-                "expert-choice routing does not compose with ragged EP "
-                "or the 2DH mesh")
+            # the rows). On a 2DH ('dcn','ici') mesh the exchange runs
+            # flat over both tiers (a hierarchical ragged decomposition
+            # is a perf refinement, not a correctness need). Ragged EP
+            # is token-choice machinery — EC's exchange is already
+            # exactly-sized, so the flag has nothing to add.
+            assert not use_ragged_ep, (
+                "expert-choice routing has its own exactly-sized ragged "
+                "exchange; use_ragged_ep does not apply")
             if capacity_override is not None:
                 cap = int(capacity_override)
             else:
