@@ -200,7 +200,9 @@ def test_fused_vmem_ladder_rejects_large_c():
 # ---------------------------------------------------------------------------
 
 def _layer_hlo(devs, *, use_2dh=False, num_hosts=None, ragged=0,
-               overlap=1, expert_choice=False, model_dim=256, hidden=512):
+               overlap=1, expert_choice=False, model_dim=256, hidden=512,
+               experts_per_device=1, parallel_type="adaptive:1",
+               adaptive_r=1):
     if expert_choice:
         gate = {"type": "expert_choice", "capacity_factor": 1.0,
                 "gate_noise": 0.0}
@@ -208,13 +210,15 @@ def _layer_hlo(devs, *, use_2dh=False, num_hosts=None, ragged=0,
         gate = {"type": "top", "k": 2, "capacity_factor": 1.0}
     layer = moe.moe_layer(
         gate_type=gate,
-        experts={"type": "ffn", "num_experts_per_device": 1,
+        experts={"type": "ffn",
+                 "num_experts_per_device": experts_per_device,
                  "hidden_size_per_expert": hidden},
         model_dim=model_dim, seeds=(1, 1, 1), dtype=jnp.bfloat16,
         use_2dh=use_2dh, num_hosts=num_hosts,
+        parallel_type=parallel_type,
         a2a_ffn_overlap_degree=overlap, group=devs)
     cfg = _VariantCfg(
-        gate_index=0, top_k=2, capacity=128, adaptive_r=1,
+        gate_index=0, top_k=2, capacity=128, adaptive_r=adaptive_r,
         overlap_degree=overlap, megablocks_size=0, training=False,
         use_2dh=use_2dh, batch_prioritized=False,
         ragged_max_recv=ragged, expert_choice=expert_choice)
@@ -287,7 +291,26 @@ def test_expert_choice_ep_compiles_for_4_hosts():
     txt, _ = _layer_hlo(devs, expert_choice=True)
     assert "ragged-all-to-all" in txt, (
         "EC EP must move activations via the ragged exchange")
+    _assert_no_activation_gather(txt)
+
+
+def _assert_no_activation_gather(txt):
+    """No all-gather may carry a token-scale [S, M] operand — only the
+    [s, E] score shard (E=1 per-device here) and the TP weight/bias
+    regathers (leading dim = experts, not tokens) are allowed."""
     for ln, groups in _collective_groups(txt, "all-gather"):
-        shapes = re.findall(r"bf16\[(\d+),(\d+)\]", ln)
-        for a, b in shapes:
-            assert int(b) != 256, f"activation all-gather leaked: {ln}"
+        for a, b in re.findall(r"bf16\[(\d+),(\d+)\]", ln):
+            assert not (int(a) >= 128 and int(b) == 256), (
+                f"activation all-gather leaked: {ln}")
+
+
+def test_expert_choice_tp_compiles_for_4_hosts():
+    """EC x expert-slicing TP (round-3 lift: slice holders as exchange
+    replicas, partial sums on the combine) lowers for a real multi-host
+    TPU target — 16 chips, 8 experts sliced 2-way."""
+    devs = _topology("v5e:4x4")
+    txt, _ = _layer_hlo(devs, expert_choice=True, experts_per_device=-2,
+                        parallel_type="adaptive:2", adaptive_r=2)
+    assert "ragged-all-to-all" in txt, (
+        "EC TP must move activations via the ragged exchange")
+    _assert_no_activation_gather(txt)
