@@ -183,3 +183,44 @@ def test_pre_post_expert_permute_oracle_and_roundtrip():
     x = jnp.ones((4, 3))
     assert net.pre_expert_permute(x, 1) is x
     assert net.post_expert_permute(x, 1) is x
+
+
+def test_batch_all_to_all_v_2dh_matches_flat():
+    """Hierarchical ragged a2a (beyond-reference; ragged analogue of
+    custom_kernel.cpp:656-738's 2DH) is element-identical to the flat
+    exchange over the (outer, inner) tuple — random counts, skewed
+    counts with zeros, and the recv_counts contract."""
+    from functools import partial
+    from tutel_tpu import net
+    O, I, W, M = 2, 4, 8, 3
+    mesh = jax.sharding.Mesh(
+        np.array(jax.devices()[:8]).reshape(O, I), ("dcn", "ici"))
+    P = jax.sharding.PartitionSpec
+    rng = np.random.default_rng(0)
+
+    def run(counts, n):
+        rows = rng.standard_normal((W, n, M)).astype(np.float32)
+
+        def body(t, c):
+            t, c = t[0], c[0]
+            flat, rcf = net.batch_all_to_all_v(
+                t, c, ("dcn", "ici"), output_size=n, native=False)
+            hier, rch = net.batch_all_to_all_v_2dh(
+                t, c, "dcn", "ici", output_size=n, native=False)
+            return flat[None], hier[None], rcf[None], rch[None]
+
+        f = jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=(P(("dcn", "ici")),) * 2,
+            out_specs=(P(("dcn", "ici")),) * 4))
+        flat, hier, rcf, rch = f(jnp.asarray(rows), jnp.asarray(counts))
+        np.testing.assert_array_equal(np.asarray(rcf), np.asarray(rch))
+        for d in range(W):
+            tot = int(np.asarray(rcf)[d].sum())
+            np.testing.assert_array_equal(
+                np.asarray(hier)[d][:tot], np.asarray(flat)[d][:tot])
+
+    run(rng.integers(0, 4, size=(W, W)).astype(np.int32), 24)
+    skew = np.zeros((W, W), np.int32)
+    skew[:, 3] = 5
+    skew[0, 0] = 7
+    run(skew, 40)

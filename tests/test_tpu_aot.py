@@ -304,6 +304,32 @@ def _assert_no_activation_gather(txt):
                 f"activation all-gather leaked: {ln}")
 
 
+def test_expert_choice_2dh_ragged_is_tier_scoped_on_4_hosts():
+    """EC on the 2DH mesh routes its ragged exchange hierarchically:
+    the compiled 4-host program must contain ragged-all-to-alls whose
+    replica groups stay within one process (ICI phase) AND ones whose
+    groups span processes (DCN phase) — no flat 16-way ragged a2a."""
+    devs = _topology("v5e:4x4")
+    txt, devs = _layer_hlo(devs, use_2dh=True, num_hosts=4,
+                           expert_choice=True)
+    proc_of = {i: d.process_index for i, d in enumerate(devs)}
+    raggeds = _collective_groups(txt, "ragged-all-to-all")
+    assert raggeds, "EC 2DH program contains no ragged-all-to-all"
+    intra = inter = flat = 0
+    for _, groups in raggeds:
+        spans = [len({proc_of[i] for i in g}) for g in groups]
+        if all(s == 1 for s in spans):
+            intra += 1
+        elif all(len(g) == s for g, s in zip(groups, spans)):
+            inter += 1
+        if any(len(g) == len(devs) for g in groups):
+            flat += 1
+    assert intra >= 1, f"no intra-host ragged phase:\n{raggeds}"
+    assert inter >= 1, f"no cross-host ragged phase:\n{raggeds}"
+    assert flat == 0, "flat world-sized ragged a2a leaked into 2DH EC"
+    _assert_no_activation_gather(txt)
+
+
 def test_expert_choice_tp_compiles_for_4_hosts():
     """EC x expert-slicing TP (round-3 lift: slice holders as exchange
     replicas, partial sums on the combine) lowers for a real multi-host

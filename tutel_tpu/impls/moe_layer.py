@@ -1017,9 +1017,12 @@ class MOELayer:
                 row = idx // max(sharded, 1)
                 gates_local = lax.dynamic_slice_in_dim(
                     ec.gates, row * e_local, e_local, 0)
+                # on the hierarchical mesh, route the exchange tier by
+                # tier (ICI intra-slice, DCN across hosts)
+                hier = ("dcn", "ici") if cfg.use_2dh else None
                 y = ec_ops.ec_ep_dispatch(x_local, plan, ep_axes,
                                           e_local, ec.capacity,
-                                          native=native)
+                                          native=native, hier=hier)
                 if not self.is_postscore:
                     y = y * gates_local[..., None].astype(y.dtype)
                 eff = expert_params
@@ -1037,7 +1040,8 @@ class MOELayer:
                 if dup > 1:
                     y = y / dup
                 out = ec_ops.ec_ep_combine(y, plan, x_local.shape[0],
-                                           ep_axes, native=native)
+                                           ep_axes, native=native,
+                                           hier=hier)
                 # valid-count-weighted z-loss: psum the (sum, count)
                 # parts so unequal per-shard masks average correctly
                 zsum, zcnt = ec_ops.router_z_loss_parts(logits,

@@ -268,6 +268,114 @@ def _ragged_a2a_fallback(t, out_buf, in_offsets, send_counts, out_offsets,
         recvd.reshape((w * n_in,) + t.shape[1:]), mode="drop")
 
 
+def _ragged_regroup(t, seg_counts, new_order):
+    """Reorder a packed ragged buffer's segments.
+
+    t: [N, ...] rows packed as `len(seg_counts)` contiguous segments;
+    seg_counts: [K] rows per segment; new_order: [K] static permutation
+    (new position p holds old segment new_order[p]). Pure gather with
+    static shapes: each output row looks up its segment via a
+    rank-over-cumsum and its source row via offset arithmetic. Tail
+    rows past the total stay at whatever the sentinel gather fills.
+    """
+    n = t.shape[0]
+    k = seg_counts.shape[0]
+    old_off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(seg_counts)[:-1].astype(jnp.int32)])
+    new_counts = seg_counts[new_order]
+    new_off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(new_counts)[:-1].astype(jnp.int32)])
+    rows = jnp.arange(n, dtype=jnp.int32)
+    # segment (in NEW order) of each output row: rank over new offsets
+    seg = jnp.sum(rows[:, None] >= new_off[None, :], axis=1) - 1
+    seg = jnp.clip(seg, 0, k - 1)
+    src = old_off[new_order[seg]] + (rows - new_off[seg])
+    total = jnp.sum(seg_counts)
+    src = jnp.where(rows < total, src, n)
+    return jnp.take(t, src, axis=0, mode="fill", fill_value=0)
+
+
+def batch_all_to_all_v_2dh(tensors, send_counts, outer_axis, inner_axis,
+                           output_size=None, intermediate_size=None,
+                           native=None, count_matrix=None):
+    """Hierarchical ragged all-to-all (beyond-reference: the ragged
+    analogue of `all_to_all_2dh` / reference custom_kernel.cpp:656-738).
+
+    Element-identical to `batch_all_to_all_v(..., (outer, inner))` —
+    rows land source-major in FLAT (outer-major) source order — but
+    decomposed into an intra-slice exchange over `inner_axis` (ICI) and
+    a cross-slice exchange over `outer_axis` (DCN), so each fabric tier
+    carries only the rows that actually cross it. Between the phases
+    the packed buffer is re-grouped with counts-driven gathers (the
+    ragged analogue of the dense memStrideCopy transpose).
+
+    Args:
+      tensors: array or list of [N, ...], rows grouped by FLAT
+        destination (d = o * inner + i), counts in `send_counts` [W].
+      output_size: static row capacity of the final buffer.
+      intermediate_size: static capacity of the phase-1 buffer; default
+        outer * output_size (a phase-1 holder stages rows for the
+        `outer` final receivers of its column, each bounded by
+        output_size).
+      count_matrix: optional [W, W] full count matrix C[src, dst] if
+        the caller already knows it (e.g. expert-choice's replicated
+        plan); otherwise it is all-gathered (W^2 int32 — negligible).
+
+    Returns (received_tensors, recv_counts[W]) like batch_all_to_all_v.
+    """
+    single = not isinstance(tensors, (list, tuple))
+    if single:
+        tensors = [tensors]
+    o_sz = lax.axis_size(outer_axis)
+    i_sz = lax.axis_size(inner_axis)
+    w = o_sz * i_sz
+    send_counts = send_counts.astype(jnp.int32)
+    if count_matrix is None:
+        count_matrix = lax.all_gather(
+            send_counts, (outer_axis, inner_axis), axis=0, tiled=False
+        ).reshape(w, w)
+    count_matrix = count_matrix.astype(jnp.int32)
+    o_m = lax.axis_index(outer_axis)
+    i_m = lax.axis_index(inner_axis)
+    me = o_m * i_sz + i_m
+
+    # phase-1 segment regroup: flat (o, i) destination order -> inner-
+    # major (i, o), so each inner peer's chunk is contiguous and its
+    # rows arrive pre-sorted by final outer destination
+    ord_io = (jnp.arange(w, dtype=jnp.int32)
+              .reshape(o_sz, i_sz).T.reshape(-1))       # [(i, o)] order
+    cnt_a = jnp.sum(send_counts.reshape(o_sz, i_sz), axis=0)   # [I]
+    if output_size is None:
+        output_size = tensors[0].shape[0]
+    if intermediate_size is None:
+        intermediate_size = o_sz * output_size
+    # m[i_s, o] = rows source (o_m, i_s) sends to (o, i_m): the phase-1
+    # holder's per-(source, final-outer) segment counts
+    slice_rows = (jnp.arange(i_sz, dtype=jnp.int32) + o_m * i_sz)
+    m = count_matrix[slice_rows][:, i_m + i_sz * jnp.arange(
+        o_sz, dtype=jnp.int32)]                          # [I, O]
+    cnt_b = jnp.sum(m, axis=0)                           # [O]
+    # phase-2 segment regroup: (i_s, o) -> (o, i_s)
+    ord_oi = (jnp.arange(i_sz * o_sz, dtype=jnp.int32)
+              .reshape(i_sz, o_sz).T.reshape(-1))
+    recv_counts = count_matrix[:, me]
+
+    outs = []
+    for t in tensors:
+        ta = _ragged_regroup(t, send_counts, ord_io)
+        ra, _ = batch_all_to_all_v(ta, cnt_a, inner_axis,
+                                   output_size=intermediate_size,
+                                   native=native)
+        tb = _ragged_regroup(ra, m.reshape(-1), ord_oi)
+        rb, _ = batch_all_to_all_v(tb, cnt_b, outer_axis,
+                                   output_size=output_size,
+                                   native=native)
+        outs.append(rb)
+    return (outs[0] if single else outs), recv_counts
+
+
 def batch_all_gather_v(tensors, count, axis, output_size=None):
     """All-gather variable-length row blocks from every device.
 

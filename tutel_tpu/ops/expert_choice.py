@@ -188,21 +188,31 @@ def ec_ep_plan(indices, my_idx, num_local_tokens, world, replicas=1):
 
 
 def ec_ep_dispatch(x_local, plan: ECPlan, axis, e_local, capacity,
-                   native=None):
+                   native=None, hier=None):
     """[s, M] local tokens -> [E_local, C, M] expert buffers via ragged
     a2a (only selected rows travel). Differentiable: the a2a carries the
-    reverse-exchange VJP, gathers transpose to scatters."""
+    reverse-exchange VJP, gathers transpose to scatters.
+
+    hier: optional (outer_axis, inner_axis) pair — route the exchange
+    through the hierarchical 2DH ragged a2a so ICI and DCN each carry
+    only their own tier's rows."""
     from . import ragged_ep  # shared differentiable exchange blocks
     l = e_local * capacity
     send_buf = jnp.take(x_local, plan.send_ids, axis=0, mode="fill",
                         fill_value=0)                       # [E*C, M]
-    recv = ragged_ep._ragged_a2a(send_buf, plan.send_counts,
-                                 plan.recv_counts, axis, l, native)
+    if hier is not None:
+        recv = ragged_ep._ragged_a2a_2dh(
+            send_buf, plan.send_counts, plan.recv_counts,
+            hier[0], hier[1], l, native)
+    else:
+        recv = ragged_ep._ragged_a2a(send_buf, plan.send_counts,
+                                     plan.recv_counts, axis, l, native)
     slot_rows = ragged_ep._perm_take(recv, plan.inv_perm, plan.perm)
     return slot_rows.reshape(e_local, capacity, x_local.shape[-1])
 
 
-def ec_ep_combine(y, plan: ECPlan, num_local_tokens, axis, native=None):
+def ec_ep_combine(y, plan: ECPlan, num_local_tokens, axis, native=None,
+                  hier=None):
     """[E_local, C, M] gated expert outputs -> [s, M] combined on each
     token's owner (ragged exchange back + scatter-add; tokens picked by
     several experts sum their contributions)."""
@@ -211,9 +221,14 @@ def ec_ep_combine(y, plan: ECPlan, num_local_tokens, axis, native=None):
     m = y.shape[-1]
     y_flat = y.reshape(l, m)
     back_send = ragged_ep._perm_take(y_flat, plan.perm, plan.inv_perm)
-    back = ragged_ep._ragged_a2a(back_send, plan.recv_counts,
-                                 plan.send_counts, axis,
-                                 plan.send_ids.shape[0], native)
+    if hier is not None:
+        back = ragged_ep._ragged_a2a_2dh(
+            back_send, plan.recv_counts, plan.send_counts,
+            hier[0], hier[1], plan.send_ids.shape[0], native)
+    else:
+        back = ragged_ep._ragged_a2a(back_send, plan.recv_counts,
+                                     plan.send_counts, axis,
+                                     plan.send_ids.shape[0], native)
     out = jnp.zeros((num_local_tokens, m), y.dtype)
     return out.at[plan.send_ids].add(back, mode="drop")
 

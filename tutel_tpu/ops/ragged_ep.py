@@ -59,6 +59,36 @@ def _ragged_a2a_bwd(axis, output_size, native, res, g):
 _ragged_a2a.defvjp(_ragged_a2a_fwd, _ragged_a2a_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _ragged_a2a_2dh(t, send_counts, recv_counts, outer, inner,
+                    output_size, native):
+    """Hierarchical ragged a2a (net.batch_all_to_all_v_2dh) with the
+    same transpose rule as `_ragged_a2a`: the VJP is the reverse
+    exchange with the count matrix transposed, which the hierarchical
+    decomposition realizes tier by tier."""
+    out, _ = net.batch_all_to_all_v_2dh(t, send_counts, outer, inner,
+                                        output_size=output_size,
+                                        native=native)
+    return out
+
+
+def _ragged_a2a_2dh_fwd(t, send_counts, recv_counts, outer, inner,
+                        output_size, native):
+    out = _ragged_a2a_2dh(t, send_counts, recv_counts, outer, inner,
+                          output_size, native)
+    return out, (send_counts, recv_counts, t.shape[0])
+
+
+def _ragged_a2a_2dh_bwd(outer, inner, output_size, native, res, g):
+    send_counts, recv_counts, n_in = res
+    back, _ = net.batch_all_to_all_v_2dh(g, recv_counts, outer, inner,
+                                         output_size=n_in, native=native)
+    return back, None, None
+
+
+_ragged_a2a_2dh.defvjp(_ragged_a2a_2dh_fwd, _ragged_a2a_2dh_bwd)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=())
 def _perm_take(x, order, inverse):
     return jnp.take(x, order, axis=0)
