@@ -135,3 +135,42 @@ def test_ragged_ep_quantized(bits):
     out, _ = layer(qp, x, use_ragged_ep=True, max_recv=1024)
     rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
     assert rel < (0.05 if bits == 8 else 0.3), rel
+
+
+def test_ragged_ep_on_2dh_mesh_matches_flat_and_single_device():
+    """True-dropless ragged EP on the hierarchical ('dcn','ici') mesh
+    (round-3 lift): both exchanges ride the tier-scoped 2DH ragged a2a
+    and the result equals the flat ragged path and single-device."""
+    from tutel_tpu import moe
+
+    def make(n, use_2dh):
+        return moe.moe_layer(
+            gate_type={"type": "top", "k": 2, "capacity_factor": 0.0},
+            experts={"type": "ffn", "num_experts_per_device": 8 // n,
+                     "hidden_size_per_expert": 48},
+            model_dim=24, seeds=(1, 1, 1), use_2dh=use_2dh,
+            num_hosts=2 if use_2dh else None, group=jax.devices()[:n])
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (64, 24))
+    l1 = make(1, False)
+    params = l1.init(jax.random.PRNGKey(0))
+    ref, _ = l1(params, x)
+    lf, lh = make(8, False), make(8, True)
+    pf, ph = lf.shard_params(params), lh.shard_params(params)
+    out_f, _ = lf(pf, x, use_ragged_ep=True,
+                  max_recv=lf.resolve_max_recv(pf, x))
+    bound = lh.resolve_max_recv(ph, x)
+    out_h, _ = lh(ph, x, use_ragged_ep=True, max_recv=bound)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(out_h), np.asarray(ref),
+                               atol=5e-5)
+
+    def loss(p, xx):
+        o, la = lh(p, xx, training=True, use_ragged_ep=True,
+                   max_recv=bound)
+        return jnp.mean(o ** 2) + 0.01 * la
+
+    g = jax.jit(jax.grad(loss))(ph, x)
+    assert all(bool(jnp.all(jnp.isfinite(leaf)))
+               for leaf in jax.tree.leaves(g))

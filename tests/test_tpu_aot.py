@@ -275,6 +275,27 @@ def test_ragged_ep_compiles_for_4_hosts():
     assert "ragged-all-to-all" in txt
 
 
+def test_ragged_ep_2dh_is_tier_scoped_on_4_hosts():
+    """Ragged EP on the 2DH mesh (round-3 lift) must route its
+    exchanges through intra-host AND cross-host ragged phases, with no
+    flat world-sized ragged a2a."""
+    devs = _topology("v5e:4x4")
+    txt, devs = _layer_hlo(devs, use_2dh=True, num_hosts=4, ragged=2048)
+    proc_of = {i: d.process_index for i, d in enumerate(devs)}
+    raggeds = _collective_groups(txt, "ragged-all-to-all")
+    assert raggeds, "2DH ragged-EP program contains no ragged a2a"
+    intra = inter = flat = 0
+    for _, groups in raggeds:
+        spans = [len({proc_of[i] for i in g}) for g in groups]
+        if all(s == 1 for s in spans):
+            intra += 1
+        elif all(len(g) == s for g, s in zip(groups, spans)):
+            inter += 1
+        if any(len(g) == len(devs) for g in groups):
+            flat += 1
+    assert intra >= 1 and inter >= 1 and flat == 0, raggeds
+
+
 def test_overlap_compiles_for_4_hosts():
     """The chunked a2a/FFN overlap variant compiles multi-host with
     async all-to-all enabled."""

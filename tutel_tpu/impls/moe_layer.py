@@ -561,9 +561,9 @@ class MOELayer:
             assert self.world_size > 1 and self.sharded_count == 1, (
                 "ragged EP needs a multi-device pure-EP layout")
             assert cf == 0 and valid_tokens is None \
-                and not self._flat_2dh() and megablocks_size == 0, (
+                and megablocks_size == 0, (
                 "ragged EP is the dropless path "
-                "(capacity_factor=0, no masking/2DH/megablocks)")
+                "(capacity_factor=0, no masking/megablocks)")
             t_rows = top_k * local_samples
             worst = routing_ops.align_capacity(
                 self.world_size * t_rows, 128)
@@ -1063,7 +1063,8 @@ class MOELayer:
                     x_local, crit, expert_params, grouped_apply, ep_axes,
                     cfg.ragged_max_recv, is_postscore=self.is_postscore,
                     ctx=ctx,
-                    native=self.devices[0].platform == "tpu")
+                    native=self.devices[0].platform == "tpu",
+                    hier=("dcn", "ici") if cfg.use_2dh else None)
                 return out, lax.pmean(l_aux, ep_axes)
 
             if cfg.dense_dispatch:

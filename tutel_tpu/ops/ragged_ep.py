@@ -126,7 +126,8 @@ def _expert_ids_from_counts(per_src_expert_counts, recv_starts, n_rows):
 
 
 def ragged_ep_forward(x_local, crit, expert_params, expert_apply, axis,
-                      max_recv, is_postscore=True, ctx=None, native=None):
+                      max_recv, is_postscore=True, ctx=None, native=None,
+                      hier=None):
     """Dropless EP forward with ragged exchanges.
 
     Args:
@@ -138,6 +139,10 @@ def ragged_ep_forward(x_local, crit, expert_params, expert_apply, axis,
         must be the grouped flavor (see MOELayer._ragged_expert_fn).
       axis: EP mesh axis name (or tuple).
       max_recv: static row capacity of the receive buffer per device.
+      hier: optional (outer_axis, inner_axis) — route both exchanges
+        through the hierarchical 2DH ragged a2a (ICI/DCN tier-scoped;
+        element-identical row ordering, so everything downstream is
+        unchanged).
     Returns:
       [S_l, M] combined output.
     """
@@ -162,8 +167,12 @@ def ragged_ep_forward(x_local, crit, expert_params, expert_apply, axis,
         rd.group_sizes.reshape(w, e_l), axis)             # [W, E_l]
     recv_counts = jnp.sum(counts_matrix, axis=1).astype(jnp.int32)  # [W]
 
-    recv_rows = _ragged_a2a(rows, send_counts, recv_counts, axis,
-                            max_recv, native)
+    if hier is not None:
+        recv_rows = _ragged_a2a_2dh(rows, send_counts, recv_counts,
+                                    hier[0], hier[1], max_recv, native)
+    else:
+        recv_rows = _ragged_a2a(rows, send_counts, recv_counts, axis,
+                                max_recv, native)
 
     recv_starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(recv_counts)[:-1]])
@@ -178,7 +187,11 @@ def ragged_ep_forward(x_local, crit, expert_params, expert_apply, axis,
     y = expert_apply(expert_params, grouped, group_sizes, ctx)
 
     y = _perm_take(y, inverse, order)                     # back to src-major
-    back_rows = _ragged_a2a(y, recv_counts, send_counts, axis, t,
-                            native)
+    if hier is not None:
+        back_rows = _ragged_a2a_2dh(y, recv_counts, send_counts,
+                                    hier[0], hier[1], t, native)
+    else:
+        back_rows = _ragged_a2a(y, recv_counts, send_counts, axis, t,
+                                native)
     return ragged_ops.decode_ragged(back_rows, rd,
                                     is_postscore=is_postscore)
