@@ -224,6 +224,41 @@ def test_lm_step_chunk_fetch_false_keeps_device_state():
     assert ra2 == rb2 and set(ra2) == {0, 1}
 
 
+def test_lm_engine_sampling():
+    """Token sampling (temperature / top_k / top_p): the degenerate
+    configs reproduce greedy exactly (top_k=1, top_p->0, temperature=0),
+    a fixed seed is deterministic, and different seeds diverge at
+    temperature >= 1."""
+    from tutel_tpu.serving import LmDecodeEngine, LmRequest
+    model, cfg = _lm_model()
+    params = model.init(jax.random.PRNGKey(0))
+    ov = {"capacity_factor": 8.0}
+    rng = np.random.RandomState(3)
+    prompts = [rng.randint(0, cfg.vocab_size, size=4).astype(np.int32)
+               for _ in range(3)]
+
+    def gen(sampler):
+        e = LmDecodeEngine(model, params, max_batch=4, moe_overrides=ov,
+                           sampler=sampler)
+        reqs = [LmRequest(uid=i, prompt=p, max_new_tokens=8)
+                for i, p in enumerate(prompts)]
+        return {u: t.tolist() for u, t in e.run(reqs, chunk=4).items()}
+
+    greedy = gen(None)
+    for degenerate in ({"top_k": 1},
+                       {"top_p": 1e-9},
+                       {"temperature": 0.0},
+                       {"temperature": 0.5, "top_k": 1}):
+        assert gen(degenerate) == greedy, degenerate
+    s1a = gen({"temperature": 1.0, "seed": 7})
+    s1b = gen({"temperature": 1.0, "seed": 7})
+    assert s1a == s1b, "fixed seed must be deterministic"
+    s2 = gen({"temperature": 1.0, "seed": 8})
+    assert s2 != s1a, "different seeds should diverge over 24 tokens"
+    # tokens stay in range
+    assert all(0 <= t < cfg.vocab_size for ts in s1a.values() for t in ts)
+
+
 def test_engine_auto_fuses_quantized_params():
     """The engine prepares the fused weight stream for quantized expert
     params automatically (auto_fuse=True default; opt-out supported)."""

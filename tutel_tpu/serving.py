@@ -30,6 +30,7 @@ from typing import Any, Dict, List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 
 def _maybe_fuse_expert_stream(params, layer=None):
@@ -306,24 +307,71 @@ class MoeDecodeEngine:
         return finals
 
 
+def _make_token_selector(sampler):
+    """Token-selection fn(logits [B, V], key) -> [B] int32.
+
+    sampler None/{} = greedy argmax (bit-identical to the historical
+    path; the key is ignored). Otherwise a dict with any of:
+      temperature: softmax temperature (0 = greedy)
+      top_k: keep only the k highest logits
+      top_p: nucleus sampling — keep the smallest prefix of the
+        sorted distribution whose mass reaches p (the top token is
+        always kept, so p -> 0 degenerates to greedy)
+    Filters compose: top_k then top_p, then categorical sampling.
+    """
+    if not sampler:
+        return lambda logits, key: jnp.argmax(
+            logits, axis=-1).astype(jnp.int32)
+    t = float(sampler.get("temperature", 1.0))
+    top_k = int(sampler.get("top_k", 0))
+    top_p = float(sampler.get("top_p", 0.0))
+    if t == 0.0:
+        return lambda logits, key: jnp.argmax(
+            logits, axis=-1).astype(jnp.int32)
+
+    def select(logits, key):
+        l = logits.astype(jnp.float32) / t
+        if top_k > 0 and top_k < l.shape[-1]:
+            kth = lax.top_k(l, top_k)[0][..., -1:]
+            l = jnp.where(l < kth, -jnp.inf, l)
+        if top_p > 0.0:
+            order = jnp.argsort(-l, axis=-1)
+            l_sorted = jnp.take_along_axis(l, order, axis=-1)
+            p_sorted = jax.nn.softmax(l_sorted, axis=-1)
+            csum = jnp.cumsum(p_sorted, axis=-1)
+            keep = (csum - p_sorted) < top_p      # top token always kept
+            mask = jnp.zeros_like(keep).at[
+                jnp.arange(l.shape[0])[:, None], order].set(keep)
+            l = jnp.where(mask, l, -jnp.inf)
+        return jax.random.categorical(key, l, axis=-1).astype(jnp.int32)
+
+    return select
+
+
 class LmDecodeEngine:
     """Continuous-batching token generation over a TransformerMoE.
 
     The full-model serving path (the single-layer `MoeDecodeEngine`
     drives a MOELayer over embedding vectors; this drives the whole LM):
-    a [max_batch]-slot KV cache, prompt prefill on admission, greedy
-    decode in chunks of `chunk` steps per device dispatch.
+    a [max_batch]-slot KV cache, prompt prefill on admission, chunked
+    decode with greedy or sampled token selection.
 
     Same O(1)-dispatches-per-chunk discipline as MoeDecodeEngine:
     admissions flush as one batched prefill + cache scatter per distinct
     prompt length, the chunked decode scan is one dispatch (compiled
     per (chunk,) and shared across engine instances via the model), and
     generated tokens come back as one [chunk, B] fetch.
+
+    sampler: None = greedy (exact vs the full forward); or a dict with
+    temperature / top_k / top_p / seed (see `_make_token_selector`).
+    Sampled runs are deterministic for a fixed seed and admission
+    sequence (the key stream advances per chunk and per step).
     """
 
     def __init__(self, model, params, max_batch: int,
                  moe_overrides: Optional[dict] = None,
-                 auto_fuse: bool = True):
+                 auto_fuse: bool = True,
+                 sampler: Optional[dict] = None):
         self.model = model
         if auto_fuse and isinstance(params, dict) \
                 and isinstance(params.get("blocks"), list):
@@ -337,10 +385,17 @@ class LmDecodeEngine:
         self.params = params
         self.max_batch = int(max_batch)
         self.moe_overrides = dict(moe_overrides or {})
+        self.sampler = dict(sampler or {})
+        self._select = _make_token_selector(self.sampler)
+        self._key = jax.random.PRNGKey(int(self.sampler.get("seed", 0)))
         # the prefill/decode executable caches live on the shared model
         # so engines reuse warm compiles — but the jitted closures bake
-        # in moe_overrides, so they must be part of the cache key
-        self._ov_key = tuple(sorted(self.moe_overrides.items()))
+        # in moe_overrides (and the sampling config), so both must be
+        # part of the cache key
+        self._ov_key = (tuple(sorted(self.moe_overrides.items()))
+                        + tuple(sorted(
+                            (k, v) for k, v in self.sampler.items()
+                            if k != "seed")))
         self.cache = model.init_cache(self.max_batch)
         self._tok = jnp.zeros((self.max_batch,), jnp.int32)
         self._pos = jnp.zeros((self.max_batch,), jnp.int32)
@@ -381,12 +436,12 @@ class LmDecodeEngine:
         fn = cache.get((tp, n, self._ov_key))
         if fn is None:
             model, ov = self.model, self.moe_overrides
+            select = self._select
 
-            def fn(params, prompts, group_cache):
+            def fn(params, prompts, group_cache, key):
                 logits, group_cache = model.prefill(
                     params, prompts, group_cache, moe_overrides=ov)
-                return jnp.argmax(logits, axis=-1).astype(jnp.int32), \
-                    group_cache
+                return select(logits, key), group_cache
 
             fn = jax.jit(fn)
             cache[(tp, n, self._ov_key)] = fn
@@ -407,8 +462,9 @@ class LmDecodeEngine:
                 np.stack([np.asarray(r.prompt, np.int32)
                           for _, r in group]))
             n = len(group)
+            self._key, sk = jax.random.split(self._key)
             first_tok, gc = self._prefill_fn(tp, n)(
-                self.params, prompts, self.model.init_cache(n))
+                self.params, prompts, self.model.init_cache(n), sk)
             for i, layer_cache in enumerate(gc):
                 self.cache[i] = {
                     "k": self.cache[i]["k"].at[slots].set(layer_cache["k"]),
@@ -430,17 +486,19 @@ class LmDecodeEngine:
         fn = cache.get((n_steps, self._ov_key))
         if fn is None:
             model, ov = self.model, self.moe_overrides
+            select = self._select
 
-            def fn(params, kv, tok, pos):
+            def fn(params, kv, tok, pos, key):
                 def body(carry, _):
-                    kv, tok, pos = carry
+                    kv, tok, pos, key = carry
                     logits, kv, _aux = model.apply_decode(
                         params, tok, kv, pos, moe_overrides=ov)
-                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                    return (kv, nxt, pos + 1), nxt
+                    key, sk = jax.random.split(key)
+                    nxt = select(logits, sk)
+                    return (kv, nxt, pos + 1, key), nxt
 
-                (kv, tok, pos), toks = jax.lax.scan(
-                    body, (kv, tok, pos), None, length=n_steps)
+                (kv, tok, pos, key), toks = jax.lax.scan(
+                    body, (kv, tok, pos, key), None, length=n_steps)
                 return kv, tok, pos, toks
 
             fn = jax.jit(fn)
@@ -471,8 +529,9 @@ class LmDecodeEngine:
         n_steps = max(1, min(
             n_steps, *[self._remaining[s] for s, r in
                        enumerate(self._slots) if r is not None]))
+        self._key, sk = jax.random.split(self._key)
         self.cache, self._tok, self._pos, toks = self._decode_fn(n_steps)(
-            self.params, self.cache, self._tok, self._pos)
+            self.params, self.cache, self._tok, self._pos, sk)
         if not fetch:
             for slot, req in enumerate(self._slots):
                 if req is None:
