@@ -259,6 +259,41 @@ def test_lm_engine_sampling():
     assert all(0 <= t < cfg.vocab_size for ts in s1a.values() for t in ts)
 
 
+def test_lm_engine_stop_token():
+    """A request retires the moment it emits its stop token: the output
+    is truncated at (and includes) the stop id, tokens decoded past it
+    inside the chunk are discarded, and the freed slot admits the next
+    pending request mid-stream."""
+    from tutel_tpu.serving import LmDecodeEngine, LmRequest
+    model, cfg = _lm_model()
+    params = model.init(jax.random.PRNGKey(0))
+    ov = {"capacity_factor": 8.0}
+    rng = np.random.RandomState(5)
+    prompts = [rng.randint(0, cfg.vocab_size, size=4).astype(np.int32)
+               for _ in range(4)]
+
+    # find, per prompt, a token the greedy run emits mid-stream so the
+    # stop actually triggers
+    probe = LmDecodeEngine(model, params, max_batch=4, moe_overrides=ov)
+    full = probe.run([LmRequest(uid=i, prompt=p, max_new_tokens=10)
+                      for i, p in enumerate(prompts)], chunk=4)
+    stops = {i: int(full[i][4]) for i in range(4)}
+
+    eng = LmDecodeEngine(model, params, max_batch=2, moe_overrides=ov)
+    reqs = [LmRequest(uid=i, prompt=prompts[i], max_new_tokens=10,
+                      stop_token=stops[i]) for i in range(4)]
+    finals = eng.run(list(reqs), chunk=3)
+    assert eng.stats["finished"] == 4
+    for i in range(4):
+        out = finals[i].tolist()
+        want = full[i].tolist()
+        first = want.index(stops[i])
+        assert out == want[:first + 1], (i, out, want)
+        assert out[-1] == stops[i]
+    # fewer tokens counted than the no-stop run (truncation is real)
+    assert eng.stats["tokens"] < 4 * 10
+
+
 def test_engine_auto_fuses_quantized_params():
     """The engine prepares the fused weight stream for quantized expert
     params automatically (auto_fuse=True default; opt-out supported)."""

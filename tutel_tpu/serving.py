@@ -69,6 +69,9 @@ class LmRequest:
     uid: Any
     prompt: np.ndarray            # [Tp] int32 token ids
     max_new_tokens: int
+    stop_token: Optional[int] = None   # retire on emitting this id
+    #   (included in the output; ignored under fetch=False chunks —
+    #   the host never sees the tokens there)
 
 
 class MoeDecodeEngine:
@@ -472,10 +475,13 @@ class LmDecodeEngine:
                 }
             self._tok = self._tok.at[slots].set(first_tok)
             self._pos = self._pos.at[slots].set(jnp.int32(tp))
-            # the prefill's argmax is the first generated token
+            # the prefill's selection is the first generated token
             for j, (slot, req) in enumerate(group):
-                self._generated[req.uid].append(int(first_tok[j]))
+                tok = int(first_tok[j])
+                self._generated[req.uid].append(tok)
                 self._remaining[slot] -= 1
+                if req.stop_token is not None and tok == req.stop_token:
+                    self._remaining[slot] = 0   # retires at next sweep
 
     # -- chunked decode -------------------------------------------------
 
@@ -551,11 +557,17 @@ class LmDecodeEngine:
             if req is None:
                 continue
             new = toks_np[:, slot].tolist()
+            stopped = False
+            if req.stop_token is not None and req.stop_token in new:
+                # truncate at (and include) the stop token; tokens the
+                # chunk decoded past it are discarded host-side
+                new = new[:new.index(req.stop_token) + 1]
+                stopped = True
             self._generated[req.uid].extend(new)
             results[req.uid] = new
             self._remaining[slot] -= n_steps
-            self.stats["tokens"] += n_steps
-            if self._remaining[slot] <= 0:
+            self.stats["tokens"] += len(new)
+            if stopped or self._remaining[slot] <= 0:
                 self._slots[slot] = None
                 self._free.append(slot)
                 self.stats["finished"] += 1
