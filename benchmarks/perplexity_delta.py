@@ -2,8 +2,10 @@
 'Perplexity vs FP16 baseline within stated quantization delta').
 
 Trains the Transformer-MoE LM on a structured synthetic corpus, then
-evaluates held-out nll with fp32 vs INT8 vs INT4 expert weights and
-prints the deltas (the docs/RESULTS.md table source).
+evaluates held-out nll with fp32 vs INT8 vs INT4 expert weights —
+weight-only AND integer-domain activation paths (W8A8 / W4A8,
+activation_bits=8 through the model's expert_kwargs) — and prints the
+deltas (the docs/RESULTS.md table source).
 
 Run: python benchmarks/perplexity_delta.py [--steps 400]
 """
@@ -33,12 +35,19 @@ def main():
     from tutel_tpu.ops import quant
 
     V, T = args.vocab, args.seq
-    cfg = TransformerMoEConfig(
-        vocab_size=V, max_len=T, model_dim=args.model_dim, num_heads=4,
-        num_layers=2, ffn_hidden=2 * args.model_dim, moe_every=1,
-        num_local_experts=args.experts, top_k=2,
-        expert_hidden=2 * args.model_dim)
-    model = TransformerMoE(cfg, group=jax.devices()[:1])
+
+    def make_cfg(activation_bits=0):
+        return TransformerMoEConfig(
+            vocab_size=V, max_len=T, model_dim=args.model_dim,
+            num_heads=4, num_layers=2, ffn_hidden=2 * args.model_dim,
+            moe_every=1, num_local_experts=args.experts, top_k=2,
+            expert_hidden=2 * args.model_dim,
+            expert_kwargs={"activation_bits": activation_bits}
+            if activation_bits else None)
+
+    model = TransformerMoE(make_cfg(), group=jax.devices()[:1])
+    # Same params, integer-domain (int8 activation) expert GEMMs.
+    model_a8 = TransformerMoE(make_cfg(8), group=jax.devices()[:1])
     params = model.init(jax.random.PRNGKey(0))
 
     def corpus(key, n):
@@ -63,8 +72,8 @@ def main():
         key, sk = jax.random.split(key)
         params, l = train_step(params, train, sk)
 
-    def eval_nll(p):
-        return float(model.loss(p, held, training=False)[1][0])
+    def eval_nll(p, m=None):
+        return float((m or model).loss(p, held, training=False)[1][0])
 
     def quantized(bits):
         qp = jax.tree.map(lambda x: x, params)
@@ -81,10 +90,18 @@ def main():
     out = {"metric": "lm_nll_quant_delta", "uniform_nll": round(
         math.log(V), 4), "fp32_nll": round(nll, 4)}
     for bits in (8, 4):
-        q = eval_nll(quantized(bits))
+        qp = quantized(bits)
+        q = eval_nll(qp)
         out[f"int{bits}_nll"] = round(q, 4)
         out[f"int{bits}_delta"] = round(q - nll, 4)
         out[f"int{bits}_ppl_ratio"] = round(math.exp(q - nll), 4)
+        # Integer-domain activation path: same quantized weights, int8
+        # activations on the MXU (W8A8 / W4A8).
+        qa = eval_nll(qp, model_a8)
+        tag = f"w{bits}a8"
+        out[f"{tag}_nll"] = round(qa, 4)
+        out[f"{tag}_delta"] = round(qa - nll, 4)
+        out[f"{tag}_ppl_ratio"] = round(math.exp(qa - nll), 4)
     print(json.dumps(out))
 
 

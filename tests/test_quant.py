@@ -241,14 +241,29 @@ def test_lm_perplexity_delta_trained():
             qp["blocks"][i] = blk
         return qp
 
+    # Integer-domain activation variant of the same model: int8
+    # activations feed the expert GEMMs (W8A8 / W4A8), weights shared.
+    cfg_a8 = TransformerMoEConfig(
+        vocab_size=V, max_len=T, model_dim=32, num_heads=2, num_layers=2,
+        ffn_hidden=64, moe_every=1, num_local_experts=4, top_k=2,
+        expert_hidden=64, expert_kwargs={"activation_bits": 8})
+    model_a8 = TransformerMoE(cfg_a8, group=jax.devices()[:1])
+
     deltas = {}
-    for bits, budget in ((8, 0.02), (4, 0.25)):
-        _, (nll_q, _) = model.loss(quantized(bits), held, training=False)
+    for bits, budget, budget_a8 in ((8, 0.02, 0.08), (4, 0.25, 0.35)):
+        qp = quantized(bits)
+        _, (nll_q, _) = model.loss(qp, held, training=False)
         delta = float(nll_q) - nll_ref
         deltas[bits] = delta
         # trained-model bound: ppl ratio exp(delta) within the stated
         # quantization budget (docs/RESULTS.md table)
         assert math.exp(max(delta, 0)) < 1 + budget, (bits, nll_ref, delta)
+        # WxA8: the activation quantization adds its own error on top
+        # of the weight error — bound it with a slightly wider budget.
+        _, (nll_a8, _) = model_a8.loss(qp, held, training=False)
+        delta_a8 = float(nll_a8) - nll_ref
+        assert math.exp(max(delta_a8, 0)) < 1 + budget_a8, (
+            bits, nll_ref, delta_a8)
     assert deltas[8] <= deltas[4] + 0.05, deltas
 
 
