@@ -104,6 +104,19 @@ def test_int4_fused_decode_1024_tokens(tpu):
         f"< 950k (round-2 measured 1.06M)")
 
 
+def test_w4a8_fused_decode_256_tokens(tpu):
+    """W4A8 integer-domain fused stream (int8 activations on the MXU)
+    at the 256-token weight-bound step. First measured on silicon in
+    round 3: 0.83 ms -> 308,550 tokens/s (647 GB/s effective, 88% of
+    the 733 GB/s pure-stream ceiling); pin at -10%."""
+    rec = _run_json(["benchmarks/bench_dropless_decode.py",
+                     "--tokens", "256", "--iters", "200",
+                     "--activation_bits", "8"])
+    assert rec["value"] >= 0.275e6, (
+        f"W4A8 fused decode @256 regressed: {rec['value']:.0f} tokens/s "
+        f"< 275k (round-3 measured 308.5k)")
+
+
 def test_fused_stream_bandwidth_at_256_tokens(tpu):
     """Effective weight-stream bandwidth of the fused whole-expert
     kernel: the 128-expert INT4 config sweeps 537 MB of packed weights
