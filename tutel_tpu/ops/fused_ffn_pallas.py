@@ -154,7 +154,13 @@ def vmem_bytes(stream: FusedFFNStream, c, dtype, chunk=512,
     cp = -(-c // sub) * sub
     xw = pack * stream.kr
     t = 1 if per_tile else stream.t1 + stream.t2
-    unpack_cols = stream.bw if per_tile else chunk
+    # Mosaic never materializes the whole [kr, chunk] unpack temporary:
+    # an AOT compile matrix (benchmarks/aot_vmem_probe.py, v5e libtpu)
+    # shows identical compile outcomes for chunk 512/1024/2048 at every
+    # row count, so the temp term is capped at 512 columns — an
+    # uncapped term would spuriously reject the (measured-faster)
+    # whole-tile chunks and push callers onto the two-call path.
+    unpack_cols = stream.bw if per_tile else min(chunk, 512)
     out_cols = stream.bw if per_tile else stream.t2 * stream.bw
     return (2 * t * stream.kr * stream.bw            # weight stream x2
             + 2 * t * 2 * stream.bw * 4              # sb x2
@@ -224,8 +230,12 @@ def fused_ffn_quant(x, stream: FusedFFNStream, counts=None,
     xp = _relayout_x(x, bits, kr, cp)
     xw = pack * kr
 
+    # chunk=1024 measured fastest for the bf16-dot kernel on v5e at the
+    # north-star config (0.775 ms vs 0.800 at 512 — loop-differenced;
+    # benchmarks/bench_fused_kernel.py). VMEM use is chunk-independent
+    # (see vmem_bytes calibration note).
     chunk = chunk or int(os.environ.get("TUTEL_TPU_FUSED_CHUNK", "0")) \
-        or min(bw, 512)
+        or min(bw, 1024)
     if bw % chunk:
         chunk = min(bw, 512)
     kernel = functools.partial(
@@ -322,7 +332,9 @@ def _fused_w8a8_kernel(counts_ref, xq_ref, sx_ref, w_ref, sb_ref, o_ref,
 def vmem_bytes_w8a8(stream: FusedFFNStream, c, dtype, chunk=512):
     """VMEM working-set estimate for fused_ffn_w8a8: double-buffered
     stream + int8 x / f32 out blocks, the f32 + int8 hidden scratches,
-    the row-scale scratch, and the in-kernel unpack temporaries."""
+    the row-scale scratch, and the in-kernel unpack temporaries
+    (capped at 512 columns — Mosaic tiles the unpack internally; see
+    the calibration note in vmem_bytes)."""
     isize = jnp.dtype(dtype).itemsize
     pack = 2 if stream.bits == 4 else 1
     cp = -(-c // 32) * 32                        # int8 sublane multiple
@@ -336,7 +348,7 @@ def vmem_bytes_w8a8(stream: FusedFFNStream, c, dtype, chunk=512):
             + cp * xw * 4                        # f32 hidden scratch
             + cp * xw                            # int8 hidden scratch
             + cp * 128 * 4                       # row-scale scratch
-            + stream.kr * chunk * (4 + 2 * pack))      # unpack temps
+            + stream.kr * min(chunk, 512) * (4 + 2 * pack))  # unpack temps
 
 
 def fused_ffn_w8a8(x, stream: FusedFFNStream, counts=None,
@@ -374,8 +386,12 @@ def fused_ffn_w8a8(x, stream: FusedFFNStream, counts=None,
                      constant_values=1.0)
     xw = pack * kr
 
+    # whole-tile chunks measured fastest for the integer-dot kernel on
+    # v5e (0.772 ms at chunk=2048 vs 0.791 at 512, loop-differenced —
+    # benchmarks/bench_fused_kernel.py); VMEM use is chunk-independent
+    # (see vmem_bytes calibration note).
     chunk = chunk or int(os.environ.get("TUTEL_TPU_FUSED_CHUNK", "0")) \
-        or min(bw, 512)
+        or min(bw, 2048)
     if bw % chunk:
         chunk = min(bw, 512)
     kernel = functools.partial(

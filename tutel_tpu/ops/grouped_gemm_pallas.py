@@ -197,11 +197,12 @@ def quantized_ffn(x, params, ctx, activation_fn, output_dim,
     if stream is not None and stream.n >= output_dim:
         from .fused_ffn_pallas import fused_ffn_quant, vmem_bytes
         # single-kernel phase-packed stream (ops/fused_ffn_pallas):
-        # biases are folded into the stream at prepare time. Under VMEM
-        # pressure (large row counts) shrink the unpack chunk first;
-        # fall back to the two-call path only if even chunk=128 won't
-        # fit.
-        for chunk in (512, 256, 128):
+        # biases are folded into the stream at prepare time. chunk=1024
+        # measured fastest on v5e (VMEM is chunk-independent above 512
+        # — benchmarks/aot_vmem_probe.py); under VMEM pressure shrink
+        # the unpack chunk, falling back to the two-call path only if
+        # even chunk=128 won't fit.
+        for chunk in (1024, 512, 256, 128):
             if vmem_bytes(stream, c, x.dtype, chunk) \
                     <= 15 * 1024 * 1024 and stream.bw % chunk == 0:
                 out = fused_ffn_quant(x, stream, counts,

@@ -180,9 +180,11 @@ def w8a8_ffn(x, params, ctx, activation_fn, output_dim,
     if stream is not None and stream.n >= output_dim:
         from .fused_ffn_pallas import fused_ffn_w8a8, vmem_bytes_w8a8
         # whole-expert phase-packed stream with integer-domain dots
-        # (W4A8/W8A8); shrink the unpack chunk under VMEM pressure,
-        # fall back to the two-call path only if chunk=128 won't fit
-        for chunk in (512, 256, 128):
+        # (W4A8/W8A8); whole-tile chunks measured fastest on v5e (VMEM
+        # is chunk-independent above 512 — benchmarks/aot_vmem_probe.py);
+        # shrink the unpack chunk under VMEM pressure, falling back to
+        # the two-call path only if chunk=128 won't fit
+        for chunk in (2048, 1024, 512, 256, 128):
             if stream.bw % chunk == 0 and \
                     vmem_bytes_w8a8(stream, x.shape[1], x.dtype, chunk) \
                     <= 15 * 1024 * 1024:
