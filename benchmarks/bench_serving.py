@@ -29,6 +29,9 @@ def main():
     parser.add_argument("--chunk", type=int, default=16)
     parser.add_argument("--bits", type=int, default=4)
     parser.add_argument("--device", type=str, default="")
+    parser.add_argument("--spec", type=float, default=-1.0,
+                        help="speculative_capacity margin (-1 = engine "
+                             "default, 0 = worst-case)")
     args = parser.parse_args()
 
     import jax
@@ -73,11 +76,14 @@ def main():
         return [Request(uid=i, state=states[i], remaining=args.length)
                 for i in range(args.requests)]
 
+    spec_kw = {} if args.spec < 0 else \
+        {"speculative_capacity": args.spec}
+
     # warm: compiles the chunked variants for full and partial fills
-    eng = MoeDecodeEngine(layer, params, max_batch=args.batch)
+    eng = MoeDecodeEngine(layer, params, max_batch=args.batch, **spec_kw)
     eng.run(reqs(1), chunk=args.chunk)
 
-    eng = MoeDecodeEngine(layer, params, max_batch=args.batch)
+    eng = MoeDecodeEngine(layer, params, max_batch=args.batch, **spec_kw)
     t0 = time.perf_counter()
     finals = eng.run(reqs(2), chunk=args.chunk)
     # force: fetch one scalar from a final output (tunnel-safe sync)
@@ -93,6 +99,7 @@ def main():
     # engine-side host cost, isolating device-side engine throughput
     # from the link.
     _seeds = iter(range(3, 1000))
+    _last_eng = []
 
     def device_time_per_chunk(n_chunks):
         # A fresh seed EVERY run: the remote execution cache serves
@@ -100,17 +107,21 @@ def main():
         # the n run's exact chunk sequence its first n chunks would be
         # free and the slope could go negative.
         seed = next(_seeds)
-        e = MoeDecodeEngine(layer, params, max_batch=args.batch)
+        e = MoeDecodeEngine(layer, params, max_batch=args.batch,
+                            **spec_kw)
+        _last_eng[:] = [e]
         states = reqs(seed)
         for r in states[:args.batch]:
             r.remaining = (3 * n_chunks + 1) * args.chunk
             e.try_add(r)
-        e.step_chunk(args.chunk, key=jax.random.PRNGKey(seed))  # warm
-        key = jax.random.PRNGKey(100 + seed)
+        # engine-internal device-resident key chain: passing a host
+        # key per chunk costs a PRNGKey+split link stall (~135 ms
+        # measured on this tunnel)
+        e._key_dev = jax.random.fold_in(e._key_dev, seed)
+        e.step_chunk(args.chunk)                                 # warm
         t0 = time.perf_counter()
         for i in range(n_chunks):
-            key, sk = jax.random.split(key)
-            e.step_chunk(args.chunk, key=sk, fetch=False)
+            e.step_chunk(args.chunk, fetch=False)
         _ = float(jnp.sum(e._buf[0]))          # trailing fetch
         return time.perf_counter() - t0
 
@@ -140,6 +151,9 @@ def main():
         "device_tokens_per_sec": round(dev_tps, 1),
         "device_chunk_ms": round(dev_chunk * 1e3, 3),
         "device_method": "loop-differenced (n vs 3n fetch-free chunks)",
+        "spec_retries": eng.stats.get("spec_retries", 0),
+        "spec_overflow_in_device_mode": bool(_last_eng[0].spec_overflow)
+        if _last_eng else False,
     }))
 
 

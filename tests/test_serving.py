@@ -350,3 +350,100 @@ def test_engine_auto_fuse_skips_tp_layouts():
     if "fused_stream" in p2["experts"]:
         with pytest.raises(ValueError, match="expert-slicing TP"):
             layer.shard_params(p2)
+
+
+def _skew_layer(e=8):
+    """A layer whose gate is zero-initialized is NOT skewed (uniform
+    logits round-robin under top-k tie-breaking); use a bigger batch
+    and a crafted gate to force skew instead (see test)."""
+    return moe.moe_layer(
+        gate_type={"type": "top", "k": 1, "capacity_factor": 0.0},
+        experts={"type": "ffn", "num_experts_per_device": e,
+                 "hidden_size_per_expert": 64},
+        model_dim=32, seeds=(1, 1, 1), group=jax.devices()[:1])
+
+
+def test_speculative_capacity_typical_case_and_retry_exactness():
+    """Speculative chunks run at ~margin x average capacity and replay
+    on overflow: outputs must equal the worst-case engine (up to float
+    reduction order — the capacity changes XLA's dot tiling) in both
+    regimes, and the skewed regime must actually retry."""
+    layer = _skew_layer()
+    params = layer.init(jax.random.PRNGKey(0))
+
+    # Craft a gate that routes EVERY token to expert 0: needed capacity
+    # == n_valid, far past the speculated margin*avg buffer.
+    skew = jax.tree.map(lambda x: x, params)
+    gates0 = dict(skew["gates"][0])
+    w = np.zeros(np.asarray(gates0["wg"]).shape, np.float32)
+    w[:, 0] = 10.0                       # logits favor expert 0
+    gates0["wg"] = jnp.asarray(w)
+    skew["gates"] = [gates0]
+
+    def drive(p, spec):
+        eng = MoeDecodeEngine(layer, p, max_batch=32,
+                              speculative_capacity=spec)
+        reqs = [Request(uid=i,
+                        state=np.asarray(jax.random.normal(
+                            jax.random.fold_in(jax.random.PRNGKey(7), i),
+                            (32,))),
+                        remaining=8)
+                for i in range(32)]
+        finals = eng.run(reqs, chunk=4, key=jax.random.PRNGKey(3))
+        return eng, finals
+
+    for p, expect_retry in ((params, False), (skew, True)):
+        # the speculation is real: margin*avg < worst at this fill
+        # (checked on a FRESH engine — observed-need hints raise the
+        # speculated cap as the run progresses)
+        assert MoeDecodeEngine(layer, p, max_batch=32,
+                               speculative_capacity=4.0
+                               )._spec_cap(32, 32) < 32
+        eng_spec, out_spec = drive(p, 4.0)
+        eng_worst, out_worst = drive(p, 0.0)
+        assert eng_worst.stats["spec_retries"] == 0
+        if expect_retry:
+            assert eng_spec.stats["spec_retries"] > 0, (
+                "fully-skewed routing must overflow the speculated "
+                "buffer and replay")
+        # (random routing at 32 tokens / 8 experts may legitimately
+        # overflow a 4x margin too — only output equality is asserted;
+        # concentration makes retries rare at production fills)
+        for uid in out_worst:
+            # routing/dispatch decisions are identical (gating never
+            # sees the buffer size); the differing capacity changes
+            # XLA's dot tiling, so outputs match only up to float
+            # reduction order (~1e-10 abs observed)
+            np.testing.assert_allclose(
+                np.asarray(out_spec[uid]), np.asarray(out_worst[uid]),
+                rtol=1e-5, atol=1e-8,
+                err_msg=f"speculative != worst-case for uid {uid}")
+
+
+def test_speculative_fetch_false_records_overflow():
+    """fetch=False chunks cannot replay (no host sync); the overflow
+    flag must be recorded device-side and visible afterwards."""
+    layer = _skew_layer()
+    params = layer.init(jax.random.PRNGKey(0))
+    skew = jax.tree.map(lambda x: x, params)
+    gates0 = dict(skew["gates"][0])
+    w = np.zeros(np.asarray(gates0["wg"]).shape, np.float32)
+    w[:, 0] = 10.0
+    gates0["wg"] = jnp.asarray(w)
+    skew["gates"] = [gates0]
+
+    def drive(p, margin):
+        eng = MoeDecodeEngine(layer, p, max_batch=32,
+                              speculative_capacity=margin)
+        for i in range(32):
+            eng.try_add(Request(uid=i,
+                                state=np.asarray(jax.random.normal(
+                                    jax.random.fold_in(
+                                        jax.random.PRNGKey(5), i), (32,))),
+                                remaining=64))
+        eng.step_chunk(4, key=jax.random.PRNGKey(1), fetch=False)
+        return eng
+
+    assert drive(skew, 4.0).spec_overflow is True
+    # a margin covering the whole fill can never overflow
+    assert drive(params, 32.0).spec_overflow is False

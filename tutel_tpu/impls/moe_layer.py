@@ -1214,6 +1214,37 @@ class MOELayer:
             self._count_cache[ckey] = fn
         return fn(params, x2, key)
 
+    def count_needed_traceable(self, gate_index=0, top_k=None,
+                               training=False):
+        """Traceable dropless-capacity probe for enclosing jits.
+
+        Returns fn(params, x2, key, token_mask=None) -> scalar int32:
+        the capacity the routing of x2 actually needs (max tokens any
+        expert received; the reference's `locations2.max() + 1`,
+        fast_dispatch.py:191-193). Unlike `resolve_capacity` this is
+        pure traced computation — no host sync — so callers (e.g. the
+        serving engine's speculative-capacity chunks) can carry the
+        needed capacity through a lax.scan and validate a speculated
+        buffer size after the fact. Single-device layers only: the
+        routing decision is local, so no cross-device MAX is needed.
+        """
+        assert self.world_size == 1, (
+            "count_needed_traceable is single-device; multi-device "
+            "callers need a pmax over the EP axes (see _build_count)")
+        gate = self.gates[gate_index]
+        tk = min(int(top_k or gate.top_k), self.num_global_experts)
+        cfg = _VariantCfg(
+            gate_index=gate_index, top_k=tk, capacity=1,
+            adaptive_r=max(self.adaptive_degree, 1), overlap_degree=1,
+            megablocks_size=0, training=training, use_2dh=self._flat_2dh(),
+            batch_prioritized=self.batch_prioritized_routing)
+
+        def fn(params, x2, key, token_mask=None):
+            crit, _ = self._routing_local(
+                cfg, params["gates"][gate_index], x2, key, token_mask)
+            return routing_ops.required_capacity(crit.dispatch_count)
+        return fn
+
     def _build_count(self, gate_index, top_k, training):
         ep_axes = self._ep_axes()
         w = self.world_size

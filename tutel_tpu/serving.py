@@ -10,10 +10,21 @@ counterpart — the reference stops at the layer. Design:
     so join/leave never recompiles.
   * per-step dynamic knobs (top_k, capacity bucket) resolve through the
     MoE layer's compiled-variant cache — switching is a dict lookup.
-  * dropless capacity uses the content-independent worst case (the fill
-    bucket: top-k experts are distinct per token, so no expert can receive
-    more rows than there are active tokens) — lossless for every routing
-    outcome, zero host probes, one compiled variant per fill bucket.
+  * dropless capacity is SPECULATIVE by default: chunks run at a small
+    multiple of the average per-expert load and carry a traced
+    needed-capacity probe; a chunk whose routing overflowed the
+    speculation is replayed from its pre-chunk state at the observed
+    capacity — dropless semantics preserved: routing and dispatch
+    decisions are identical to the worst case (gating never sees the
+    buffer size), outputs match up to float reduction order (the
+    smaller buffer changes XLA's dot tiling; ~1e-10 at bf16-scale
+    magnitudes), and the rare retry on pathological skew costs one
+    extra chunk. speculative_capacity=0 restores the
+    content-independent worst case (the fill bucket: top-k experts are
+    distinct per token, so no expert can receive more rows than there
+    are active tokens) — lossless with zero probes, but maximally
+    pessimistic: at 256 slots / 128 experts it runs 64x the average
+    load and measured 2.7x slower per device step.
   * with world_size > 1 the engine's globally packed buffer maps onto the
     layer's scalar `valid_tokens` semantics: the layer derives per-shard
     valid counts clip(n - shard*local, 0, local), so shard>0 padding rows
@@ -79,7 +90,8 @@ class MoeDecodeEngine:
 
     def __init__(self, layer, params, max_batch: int,
                  top_k: Optional[int] = None, capacity_bucket: int = 8,
-                 auto_fuse: bool = True):
+                 auto_fuse: bool = True,
+                 speculative_capacity: float = 8.0):
         self.layer = layer
         if auto_fuse:
             params = _maybe_fuse_expert_stream(params, layer)
@@ -94,7 +106,34 @@ class MoeDecodeEngine:
         self._staged: List[Any] = []   # (slot, state) admissions to flush
         self._capacity_cache: Dict[int, int] = {}
         self._step = 0
-        self.stats = {"steps": 0, "tokens": 0, "joined": 0, "finished": 0}
+        self.stats = {"steps": 0, "tokens": 0, "joined": 0, "finished": 0,
+                      "spec_retries": 0}
+        # Speculative dropless capacity: the content-independent worst
+        # case (capacity == active tokens) is lossless but maximally
+        # pessimistic — at 256 slots / 128 experts the average load is
+        # top_k*S/E ≈ 4 rows/expert while the worst-case buffer carries
+        # 256. With speculative_capacity = margin m > 0, chunks run at
+        # capacity ≈ m * average (bucketed) and carry a traced
+        # needed-capacity probe (MOELayer.count_needed_traceable)
+        # through the scan; if any step's routing exceeded the
+        # speculated buffer the chunk is REPLAYED from its pre-chunk
+        # state at the observed capacity — dropless semantics are
+        # preserved exactly, and the (rare) retry costs one extra chunk.
+        # 0 disables (always worst-case). Auto-disabled for expert-
+        # choice gates (their capacity is exact by construction) and
+        # multi-device layers (the probe is single-device).
+        gate0 = layer.gates[0]
+        self.speculative_capacity = float(speculative_capacity or 0)
+        if getattr(gate0, "expert_choice", False) or layer.world_size > 1:
+            self.speculative_capacity = 0.0
+        self._count_fn = None
+        self._spec_hint: Dict[int, int] = {}  # fill bucket -> max needed
+        self._order_cache = None       # device perm/inv/mask, see below
+        self._key_dev = jax.random.PRNGKey(0)   # device-resident chain
+        self._spec_over = jnp.asarray(False)
+        if self.speculative_capacity > 0:
+            self._count_fn = layer.count_needed_traceable(
+                gate_index=0, top_k=top_k, training=False)
 
     # -- admission ------------------------------------------------------
 
@@ -150,6 +189,141 @@ class MoeDecodeEngine:
             self._capacity_cache[fill_bucket] = cap
         return cap
 
+    # -- speculative dropless capacity -----------------------------------
+
+    def _spec_cap(self, n_valid: int, worst: int) -> int:
+        """Speculated capacity: margin x the average per-expert load,
+        raised to the largest routing need OBSERVED at this fill (the
+        hint a previous chunk's probe reported — retries never repeat
+        for a stationary workload), bucket-aligned, clipped to
+        [bucket, worst]."""
+        tk = min(int(self.top_k or self.layer.gates[0].top_k),
+                 self.layer.num_global_experts)
+        avg = -(-tk * n_valid // self.layer.num_global_experts)
+        cap = int(avg * self.speculative_capacity)
+        hint = self._spec_hint.get(self._bucket(n_valid), 0)
+        cap = max(cap, hint)
+        cap = -(-cap // self.capacity_bucket) * self.capacity_bucket
+        return max(self.capacity_bucket, min(cap, worst))
+
+    def _layer_cache(self):
+        # the compiled-chunk cache lives on the LAYER so every engine
+        # driving the same layer shares warm executables (a per-engine
+        # cache would recompile the scan for each new engine instance)
+        cache = getattr(self.layer, "_serving_chunk_cache", None)
+        if cache is None:
+            cache = self.layer._serving_chunk_cache = {}
+        return cache
+
+    def _order_arrays(self, order, n_valid):
+        """Device-resident pack permutation / inverse / active mask,
+        cached while slot occupancy is unchanged. On a remote-attached
+        device every host->device transfer is a link round-trip, so the
+        steady-state chunk (no joins/leaves) must not re-upload them."""
+        okey = (tuple(order), n_valid)
+        cached = self._order_cache
+        if cached is not None and cached[0] == okey:
+            return cached[1], cached[2], cached[3]
+        perm = jnp.asarray(order, jnp.int32)
+        inv = jnp.asarray(np.argsort(order), jnp.int32)
+        amask = jnp.asarray([r is not None for r in self._slots], bool)
+        self._order_cache = (okey, perm, inv, amask)
+        return perm, inv, amask
+
+    def _chunk_fn(self, n_steps: int, n_valid: int, cap: int,
+                  with_probe: bool):
+        """ONE compiled dispatch for a whole chunk: pack, n_steps of
+        the layer, write-back, and the key-chain advance all happen
+        inside the jit — the host contributes zero per-chunk device
+        ops and zero transfers (the per-chunk PRNGKey/split and the
+        perm/mask uploads measured ~35 ms/chunk of link stalls on the
+        remote tunnel, dwarfing the sub-ms decode step itself).
+
+        with_probe=True also threads the traced needed-capacity probe
+        through the scan and returns (max needed, overflowed) so the
+        speculative caller can validate the buffer it guessed.
+
+        Returns run(params, buf, perm, inv, amask, key) ->
+        (new_buf, out, next_key[, mx, over]).
+        """
+        cache = self._layer_cache()
+        ck = ("v2", with_probe, n_steps, n_valid, cap, self.top_k)
+        run = cache.get(ck)
+        if run is None:
+            layer, top_k = self.layer, self.top_k
+            count_fn = self._count_fn
+
+            # params must flow through the jit boundary as an
+            # argument — a closure over self.params would bake the
+            # (possibly hundreds of MB of) expert weights into the
+            # compiled program as literal constants.
+            def run(params, buf, perm, inv, amask, key):
+                packed = jnp.take(buf, perm, axis=0)
+                next_key, sub = jax.random.split(key)
+                keys = jax.random.split(sub, n_steps)
+                mask = jnp.arange(packed.shape[0]) < n_valid
+
+                def body(carry, k):
+                    b, mx = carry
+                    if with_probe:
+                        needed = count_fn(params, b, k, mask)
+                        mx = jnp.maximum(mx, needed)
+                    o, _ = layer(params, b, key=k, top_k=top_k,
+                                 valid_tokens=n_valid,
+                                 capacity_override=cap)
+                    return (o, mx), None
+                (out, mx), _ = jax.lax.scan(
+                    body, (packed, jnp.int32(0)), keys)
+                new_buf = jnp.where(amask[:, None],
+                                    jnp.take(out, inv, axis=0), buf)
+                if with_probe:
+                    return new_buf, out, next_key, mx, mx > cap
+                return new_buf, out, next_key
+            run = jax.jit(run)
+            cache[ck] = run
+        return run
+
+    def _run_speculative(self, perm, inv, amask, n_valid, n_steps, key,
+                         worst, fetch):
+        """Run one chunk at the speculated capacity; replay from the
+        (immutable) pre-chunk buffer at the observed capacity if any
+        step's routing overflowed the speculation. Returns
+        (new_buf, out, next_key, out_np or None)."""
+        cap = self._spec_cap(n_valid, worst)
+        out_np = None
+        while True:
+            new_buf, out, next_key, mx, over = self._chunk_fn(
+                n_steps, n_valid, cap, with_probe=True)(
+                self.params, self._buf, perm, inv, amask, key)
+            if cap >= worst:
+                break                      # lossless by construction
+            if not fetch:
+                # benchmarking mode: no host sync allowed — record the
+                # overflow flag device-side; spec_overflow checks it
+                self._spec_over = jnp.logical_or(self._spec_over, over)
+                break
+            # the overflow check rides the output fetch the caller
+            # needs anyway — no extra round-trip on the happy path
+            out_np, mx_host = jax.device_get((out[:n_valid], mx))
+            fb = self._bucket(n_valid)
+            self._spec_hint[fb] = max(self._spec_hint.get(fb, 0),
+                                      int(mx_host))
+            if int(mx_host) <= cap:
+                break
+            self.stats["spec_retries"] += 1
+            out_np = None
+            cap = min(worst, self._bucket(int(mx_host)))
+        return new_buf, out, next_key, (
+            np.asarray(out_np) if out_np is not None else None)
+
+    @property
+    def spec_overflow(self) -> bool:
+        """True if any fetch=False speculative chunk overflowed its
+        buffer (its outputs are invalid — benchmarking mode only;
+        fetch=True chunks replay on overflow and are always dropless)."""
+        v = getattr(self, "_spec_over", None)
+        return bool(v) if v is not None else False
+
     # -- the decode step ------------------------------------------------
 
     def step(self, key=None) -> Dict[Any, jnp.ndarray]:
@@ -181,8 +355,6 @@ class MoeDecodeEngine:
         """
         if self.active == 0:
             return {}
-        if key is None:
-            key = jax.random.PRNGKey(self._step)
         self._flush_admissions()
         # never decode past the shortest remaining budget — a direct
         # step_chunk caller would otherwise over-advance a request's
@@ -194,55 +366,30 @@ class MoeDecodeEngine:
 
         n_valid = self.active
         # pack active slots into the leading positions (static shapes;
-        # valid_tokens masks the tail)
+        # valid_tokens masks the tail). The pack/write-back permutation
+        # arrays are cached device-side while occupancy is unchanged,
+        # and the key chain is device-resident: when `key` is None the
+        # chunk costs ZERO host->device transfers (each upload is a
+        # link round-trip on a remote-attached device).
         order = [i for i, r in enumerate(self._slots) if r is not None] + \
                 [i for i, r in enumerate(self._slots) if r is None]
-        perm = jnp.asarray(order, jnp.int32)
-        packed = jnp.take(self._buf, perm, axis=0)
-        cap = self._capacity_for(self._bucket(n_valid), key)
+        perm, inv, amask = self._order_arrays(order, n_valid)
+        worst = self._capacity_for(self._bucket(n_valid), None)
+        key_in = self._key_dev if key is None else key
 
-        if n_steps == 1:
-            out, _ = self.layer(
-                self.params, packed, key=key, top_k=self.top_k,
-                valid_tokens=n_valid, capacity_override=cap)
+        out_np = None
+        if self.speculative_capacity > 0:
+            new_buf, out, next_key, out_np = self._run_speculative(
+                perm, inv, amask, n_valid, n_steps, key_in, worst, fetch)
         else:
-            layer = self.layer
-            top_k = self.top_k
-
-            keys = jax.random.split(key, n_steps)
-            # the compiled-chunk cache lives on the LAYER so every engine
-            # driving the same layer shares warm executables (a per-engine
-            # cache would recompile the scan for each new engine instance)
-            cache = getattr(self.layer, "_serving_chunk_cache", None)
-            if cache is None:
-                cache = self.layer._serving_chunk_cache = {}
-            ck = (n_steps, n_valid, cap, self.top_k)
-            run = cache.get(ck)
-            if run is None:
-                # params must flow through the jit boundary as an
-                # argument — a closure over self.params would bake the
-                # (possibly hundreds of MB of) expert weights into the
-                # compiled program as literal constants.
-                def run(params, packed, keys):
-                    def body(carry, k):
-                        buf, = carry
-                        o, _ = layer(params, buf, key=k, top_k=top_k,
-                                     valid_tokens=n_valid,
-                                     capacity_override=cap)
-                        return (o,), None
-                    (out,), _ = jax.lax.scan(body, (packed,), keys)
-                    return out
-                run = jax.jit(run)
-                cache[ck] = run
-            out = run(self.params, packed, keys)
-
-        # vectorized write-back: active slots take their new state, free
-        # slots keep the old buffer (single device op, no row loop)
-        inv = jnp.asarray(np.argsort(order), jnp.int32)
-        active_mask = jnp.asarray(
-            [r is not None for r in self._slots], bool)
-        self._buf = jnp.where(active_mask[:, None],
-                              jnp.take(out, inv, axis=0), self._buf)
+            new_buf, out, next_key = self._chunk_fn(
+                n_steps, n_valid, worst, with_probe=False)(
+                self.params, self._buf, perm, inv, amask, key_in)
+        # commit: pack, scan, and write-back all ran inside the one
+        # compiled dispatch; the buffer swap is a host pointer move
+        self._buf = new_buf
+        if key is None:
+            self._key_dev = next_key
 
         if not fetch:
             for slot in order[:n_valid]:
@@ -258,8 +405,10 @@ class MoeDecodeEngine:
 
         # ONE batched device->host transfer for this chunk's outputs;
         # per-row lazy slices would be one device op (and one link
-        # round-trip) each.
-        out_np = np.asarray(jax.device_get(out[:n_valid]))
+        # round-trip) each. (The speculative path may have fetched the
+        # outputs already — its overflow check rides the same transfer.)
+        if out_np is None:
+            out_np = np.asarray(jax.device_get(out[:n_valid]))
 
         results: Dict[Any, jnp.ndarray] = {}
         for j, slot in enumerate(order[:n_valid]):
