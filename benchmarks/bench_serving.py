@@ -32,6 +32,13 @@ def main():
     parser.add_argument("--spec", type=float, default=-1.0,
                         help="speculative_capacity margin (-1 = engine "
                              "default, 0 = worst-case)")
+    parser.add_argument("--state", type=str, default="residual_norm",
+                        choices=("replace", "residual_norm"),
+                        help="per-step state update. 'replace' collapses "
+                             "to all-zero states within ~6 steps on an "
+                             "untrained layer (degenerate routing); "
+                             "'residual_norm' is the transformer-block "
+                             "shape and keeps the workload realistic")
     args = parser.parse_args()
 
     import jax
@@ -76,8 +83,9 @@ def main():
         return [Request(uid=i, state=states[i], remaining=args.length)
                 for i in range(args.requests)]
 
-    spec_kw = {} if args.spec < 0 else \
-        {"speculative_capacity": args.spec}
+    spec_kw = {"state_update": args.state}
+    if args.spec >= 0:
+        spec_kw["speculative_capacity"] = args.spec
 
     # warm: compiles the chunked variants for full and partial fills
     eng = MoeDecodeEngine(layer, params, max_batch=args.batch, **spec_kw)
@@ -144,6 +152,7 @@ def main():
         "config": {"experts": args.experts, "bits": args.bits,
                    "batch": args.batch, "requests": args.requests,
                    "decode_len": args.length, "chunk": args.chunk,
+                   "state": args.state, "spec": args.spec,
                    "platform": platform},
         "wall_s": round(dt, 3),
         "tokens": tokens,

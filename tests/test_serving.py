@@ -447,3 +447,46 @@ def test_speculative_fetch_false_records_overflow():
     assert drive(skew, 4.0).spec_overflow is True
     # a margin covering the whole fill can never overflow
     assert drive(params, 32.0).spec_overflow is False
+
+
+def test_state_update_residual_norm_semantics():
+    """state' = rmsnorm(state + moe(state)): exact vs a manual step, and
+    the states must NOT decay to zero (the 'replace' degeneracy: an
+    untrained layer is contractive, so replace-mode states underflow to
+    exactly 0 within a few steps and the all-zero logits tie-route every
+    token to the same experts — see the engine docstring)."""
+    layer = moe.moe_layer(
+        gate_type={"type": "top", "k": 2, "capacity_factor": 0.0},
+        experts={"type": "ffn", "num_experts_per_device": 8,
+                 "hidden_size_per_expert": 64},
+        model_dim=32, seeds=(1, 1, 1), group=jax.devices()[:1])
+    params = layer.init(jax.random.PRNGKey(0))
+
+    states = np.asarray(jax.random.normal(
+        jax.random.PRNGKey(4), (16, 32), jnp.float32))
+    eng = MoeDecodeEngine(layer, params, max_batch=16,
+                          speculative_capacity=0.0,
+                          state_update="residual_norm")
+    for i in range(16):
+        eng.try_add(Request(uid=i, state=states[i], remaining=6))
+    key = jax.random.PRNGKey(9)
+    eng.step_chunk(3, key=key)
+
+    # manual replay of the same 3 steps
+    _, sub = jax.random.split(key)
+    keys = jax.random.split(sub, 3)
+    b = jnp.asarray(states, layer.dtype)
+    for k in keys:
+        o, _ = layer(params, b, key=k, valid_tokens=16,
+                     capacity_override=16)
+        r = (b + o).astype(jnp.float32)
+        b = (r * jax.lax.rsqrt(
+            jnp.mean(r * r, axis=-1, keepdims=True) + 1e-6)
+             ).astype(b.dtype)
+    # scan-compiled engine vs unrolled manual loop: fp reassociation
+    # only (~2e-7 observed)
+    np.testing.assert_allclose(np.asarray(eng._buf), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+    # unit-RMS manifold: no zero collapse
+    rms = np.sqrt(np.mean(np.asarray(eng._buf, np.float32) ** 2, axis=-1))
+    assert rms.min() > 0.9 and rms.max() < 1.1

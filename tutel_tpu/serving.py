@@ -24,7 +24,8 @@ counterpart — the reference stops at the layer. Design:
     distinct per token, so no expert can receive more rows than there
     are active tokens) — lossless with zero probes, but maximally
     pessimistic: at 256 slots / 128 experts it runs 64x the average
-    load and measured 2.7x slower per device step.
+    load and measured 4.05x slower per device chunk (57.6 vs 14.2 ms,
+    docs/RESULTS.md serving table).
   * with world_size > 1 the engine's globally packed buffer maps onto the
     layer's scalar `valid_tokens` semantics: the layer derives per-shard
     valid counts clip(n - shard*local, 0, local), so shard>0 padding rows
@@ -91,7 +92,8 @@ class MoeDecodeEngine:
     def __init__(self, layer, params, max_batch: int,
                  top_k: Optional[int] = None, capacity_bucket: int = 8,
                  auto_fuse: bool = True,
-                 speculative_capacity: float = 8.0):
+                 speculative_capacity: float = 8.0,
+                 state_update: str = "replace"):
         self.layer = layer
         if auto_fuse:
             params = _maybe_fuse_expert_stream(params, layer)
@@ -99,6 +101,21 @@ class MoeDecodeEngine:
         self.max_batch = int(max_batch)
         self.top_k = top_k
         self.capacity_bucket = max(int(capacity_bucket), 1)
+        # How a decode step folds the layer output into the slot state:
+        #   "replace"       state' = moe(state)   (historical default)
+        #   "residual_norm" state' = rmsnorm(state + moe(state))
+        # "replace" is DEGENERATE as a multi-step workload: an untrained
+        # MoE layer is contractive, so states underflow to exactly zero
+        # within a few steps (measured: bf16 rms 1.0 -> 0.17 -> 0.03 ->
+        # ... -> 0 by step 6), after which the all-zero gate logits tie
+        # and top-k routes every token to the same experts — worst-case
+        # capacity by degeneracy, and 'throughput' over zero vectors.
+        # "residual_norm" is the transformer-block shape (pre-LN residual
+        # trunk) and keeps states on the unit manifold, so routing load
+        # stays near top_k*S/E like real hidden states do.
+        if state_update not in ("replace", "residual_norm"):
+            raise ValueError(f"unknown state_update {state_update!r}")
+        self.state_update = state_update
         m = layer.model_dim
         self._buf = jnp.zeros((self.max_batch, m), layer.dtype)
         self._slots: List[Optional[Request]] = [None] * self.max_batch
@@ -247,11 +264,13 @@ class MoeDecodeEngine:
         (new_buf, out, next_key[, mx, over]).
         """
         cache = self._layer_cache()
-        ck = ("v2", with_probe, n_steps, n_valid, cap, self.top_k)
+        ck = ("v2", with_probe, n_steps, n_valid, cap, self.top_k,
+              self.state_update)
         run = cache.get(ck)
         if run is None:
             layer, top_k = self.layer, self.top_k
             count_fn = self._count_fn
+            residual = self.state_update == "residual_norm"
 
             # params must flow through the jit boundary as an
             # argument — a closure over self.params would bake the
@@ -271,6 +290,11 @@ class MoeDecodeEngine:
                     o, _ = layer(params, b, key=k, top_k=top_k,
                                  valid_tokens=n_valid,
                                  capacity_override=cap)
+                    if residual:
+                        r = (b + o).astype(jnp.float32)
+                        o = (r * jax.lax.rsqrt(
+                            jnp.mean(r * r, axis=-1, keepdims=True)
+                            + 1e-6)).astype(b.dtype)
                     return (o, mx), None
                 (out, mx), _ = jax.lax.scan(
                     body, (packed, jnp.int32(0)), keys)
