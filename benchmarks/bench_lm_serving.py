@@ -34,6 +34,12 @@ def main():
     parser.add_argument("--chunk", type=int, default=16)
     parser.add_argument("--bits", type=int, default=4)
     parser.add_argument("--device", type=str, default="")
+    parser.add_argument("--attn", type=int, default=1,
+                        help="0 disables bucketed attention windows "
+                             "(decode reads the full max_len KV cache)")
+    parser.add_argument("--spec", type=float, default=0.0,
+                        help="LmDecodeEngine speculative_capacity margin "
+                             "(0 = off, worst-case capacity_override)")
     args = parser.parse_args()
 
     import jax
@@ -76,8 +82,12 @@ def main():
     params = make_params()
     jax.block_until_ready(jax.tree.leaves(params))
 
-    # content-independent dropless capacity for the decode fill
-    ov = {"capacity_override": args.batch}
+    # content-independent dropless capacity for the decode fill; with
+    # speculation on, the engine injects its own capacity_override
+    ov = {} if args.spec > 0 else {"capacity_override": args.batch}
+    spec_kw = {"speculative_capacity": args.spec}
+    if not args.attn:
+        spec_kw["attn_bucket"] = 0
 
     rng = np.random.RandomState(0)
 
@@ -91,11 +101,11 @@ def main():
 
     # warm: compiles prefill + decode chunks for this fill pattern
     eng = LmDecodeEngine(model, params, max_batch=args.batch,
-                         moe_overrides=ov)
+                         moe_overrides=ov, **spec_kw)
     eng.run(reqs(), chunk=args.chunk)
 
     eng = LmDecodeEngine(model, params, max_batch=args.batch,
-                         moe_overrides=ov)
+                         moe_overrides=ov, **spec_kw)
     t0 = time.perf_counter()
     finals = eng.run(reqs(), chunk=args.chunk)
     dt = time.perf_counter() - t0
@@ -105,9 +115,21 @@ def main():
     # enqueued back-to-back, one trailing scalar fetch; loop
     # differencing (n vs 3n chunks) cancels the RTT and constant host
     # cost, isolating device-side engine throughput from the link.
+    _last = []
+
     def device_time(n_chunks):
+        # pin ONE attention window for the whole timed run (positions
+        # advance across chunks; letting the window re-bucket mid-loop
+        # would compile a fresh variant inside the timing). The bucket
+        # covers every position the run reaches, so the window is a
+        # constant representative length.
+        kw = dict(spec_kw)
+        if args.attn:
+            kw["attn_bucket"] = args.prompt_len \
+                + (3 * n_chunks + 2) * args.chunk
         e = LmDecodeEngine(model, params, max_batch=args.batch,
-                           moe_overrides=ov)
+                           moe_overrides=ov, **kw)
+        _last[:] = [e]
         rs = reqs()[:args.batch]
         for r in rs:
             r.max_new_tokens = (3 * n_chunks + 1) * args.chunk
@@ -121,7 +143,9 @@ def main():
         return time.perf_counter() - t0
 
     n = max(2, 16 // args.chunk)
-    t_n, t_3n = device_time(n), device_time(3 * n)
+    tries = 3 if platform == "tpu" else 1
+    t_n = min(device_time(n) for _ in range(tries))
+    t_3n = min(device_time(3 * n) for _ in range(tries))
     dev_chunk = (t_3n - t_n) / (2 * n)
     dev_tps = (args.batch * args.chunk / dev_chunk) if dev_chunk > 0 else 0
 
@@ -135,6 +159,7 @@ def main():
                    "requests": args.requests,
                    "prompt_len": args.prompt_len,
                    "gen_len": args.gen_len, "chunk": args.chunk,
+                   "spec": args.spec, "attn": args.attn,
                    "platform": platform},
         "wall_s": round(dt, 3),
         "generated_tokens": int(tokens),
@@ -142,6 +167,9 @@ def main():
         "device_tokens_per_sec": round(dev_tps, 1),
         "device_chunk_ms": round(dev_chunk * 1e3, 3),
         "device_method": "loop-differenced (n vs 3n fetch-free chunks)",
+        "spec_retries": eng.stats.get("spec_retries", 0),
+        "spec_overflow_in_device_mode": bool(_last[0].spec_overflow)
+        if _last else False,
     }))
 
 

@@ -130,3 +130,13 @@ def test_expert_choice_example_runs():
                        "--num_steps", "8"]),
         log=lambda *a, **k: None)
     assert losses8[-1] < losses8[0]
+
+
+def test_serving_decode_example_runs():
+    from tutel_tpu.examples import serving_decode
+    moe_stats, lm_stats = serving_decode.run(serving_decode.build_args(
+        ["--device", "cpu", "--experts", "8", "--model_dim", "64",
+         "--batch", "16", "--requests", "20", "--chunk", "4"]),
+        log=lambda *a: None)
+    assert moe_stats["finished"] == 20
+    assert lm_stats["finished"] == 12

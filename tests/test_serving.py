@@ -381,6 +381,9 @@ def test_speculative_capacity_typical_case_and_retry_exactness():
     skew["gates"] = [gates0]
 
     def drive(p, spec):
+        # hints are shared across engines on the layer by design; the
+        # test isolates drives so retry behavior is observable
+        getattr(layer, "_serving_spec_hints", {}).clear()
         eng = MoeDecodeEngine(layer, p, max_batch=32,
                               speculative_capacity=spec)
         reqs = [Request(uid=i,
@@ -490,3 +493,181 @@ def test_state_update_residual_norm_semantics():
     # unit-RMS manifold: no zero collapse
     rms = np.sqrt(np.mean(np.asarray(eng._buf, np.float32) ** 2, axis=-1))
     assert rms.min() > 0.9 and rms.max() < 1.1
+
+
+def test_lm_speculative_capacity_matches_worst_case():
+    """LM decode at speculated capacity: same tokens as the worst-case
+    buffer in the typical regime AND in a crafted-skew regime that must
+    actually retry (replay-on-overflow preserves dropless decode)."""
+    from tutel_tpu.serving import LmDecodeEngine, LmRequest
+    model, cfg = _lm_model()
+    params = model.init(jax.random.PRNGKey(0))
+
+    skew = jax.tree.map(lambda x: x, params)
+    for i, blk in enumerate(skew["blocks"]):
+        if "moe" in blk:
+            blk = dict(blk)
+            mo = dict(blk["moe"])
+            g0 = dict(mo["gates"][0])
+            w = np.zeros(np.asarray(g0["wg"]).shape, np.float32)
+            w[:, 0] = 10.0                 # every token -> expert 0
+            g0["wg"] = jnp.asarray(w)
+            mo["gates"] = [g0]
+            blk["moe"] = mo
+            skew["blocks"][i] = blk
+
+    rng = np.random.RandomState(3)
+    def reqs():
+        return [LmRequest(uid=i,
+                          prompt=rng.randint(0, cfg.vocab_size,
+                                             size=4).astype(np.int32),
+                          max_new_tokens=9)
+                for i in range(12)]
+
+    def drive(p, margin):
+        getattr(model, "_serving_spec_hints", {}).clear()
+        eng = LmDecodeEngine(model, p, max_batch=12,
+                             moe_overrides={"capacity_factor": 0.0},
+                             speculative_capacity=margin,
+                             capacity_bucket=2)
+        rng.seed(3)                        # same prompts every drive
+        return eng, eng.run(reqs(), chunk=3)
+
+    for p, expect_retry in ((params, False), (skew, True)):
+        eng_s, out_s = drive(p, 1.5)
+        # the speculation is real: margin*avg < max_batch on a fresh
+        # engine (hints raise it as the run observes needs)
+        getattr(model, "_serving_spec_hints", {}).clear()
+        assert LmDecodeEngine(model, p, max_batch=12,
+                              speculative_capacity=1.5,
+                              capacity_bucket=2)._lm_spec_cap() < 12
+        eng_w, out_w = drive(p, 1e9)       # cap clips to max_batch
+        assert eng_w.stats["spec_retries"] == 0
+        if expect_retry:
+            assert eng_s.stats["spec_retries"] > 0, (
+                "fully-skewed routing must overflow and replay")
+        assert set(out_s) == set(out_w)
+        for uid in out_w:
+            assert out_s[uid].tolist() == out_w[uid].tolist(), uid
+
+
+def test_lm_speculative_fetch_false_records_overflow():
+    from tutel_tpu.serving import LmDecodeEngine, LmRequest
+    model, cfg = _lm_model()
+    params = model.init(jax.random.PRNGKey(0))
+    skew = jax.tree.map(lambda x: x, params)
+    for i, blk in enumerate(skew["blocks"]):
+        if "moe" in blk:
+            g0 = dict(blk["moe"]["gates"][0])
+            w = np.zeros(np.asarray(g0["wg"]).shape, np.float32)
+            w[:, 0] = 10.0
+            g0["wg"] = jnp.asarray(w)
+            skew["blocks"][i] = {**blk, "moe": {**blk["moe"],
+                                                "gates": [g0]}}
+
+    def drive(p, margin):
+        eng = LmDecodeEngine(model, p, max_batch=12,
+                             moe_overrides={"capacity_factor": 0.0},
+                             speculative_capacity=margin,
+                             capacity_bucket=2)
+        rng = np.random.RandomState(5)
+        for i in range(12):
+            eng.try_add(LmRequest(
+                uid=i, prompt=rng.randint(0, cfg.vocab_size,
+                                          size=4).astype(np.int32),
+                max_new_tokens=30))
+        eng.step_chunk(4, fetch=False)
+        return eng
+
+    assert drive(skew, 1.5).spec_overflow is True
+    assert drive(params, 1e9).spec_overflow is False
+
+
+def test_speculative_capacity_multi_device_ep():
+    """Speculation under EP: the probe pmaxes per-shard routing need
+    over the EP axes (capacity_override is a per-(expert, shard)
+    buffer). Outputs must match the worst-case engine in the typical
+    regime and under crafted full-skew (which must retry)."""
+    layer = moe.moe_layer(
+        gate_type={"type": "top", "k": 1, "capacity_factor": 0.0},
+        experts={"type": "ffn", "num_experts_per_device": 2,
+                 "hidden_size_per_expert": 64},
+        model_dim=32, seeds=(1, 1, 1), group=jax.devices()[:8])
+    assert layer.world_size == 8
+    params = layer.shard_params(layer.init(jax.random.PRNGKey(0)))
+
+    skew = jax.tree.map(lambda x: x, params)
+    gates0 = dict(skew["gates"][0])
+    w = np.zeros(np.asarray(gates0["wg"]).shape, np.float32)
+    w[:, 0] = 10.0                      # every token -> global expert 0
+    gates0["wg"] = jnp.asarray(w)
+    skew["gates"] = [gates0]
+
+    def drive(p, spec):
+        getattr(layer, "_serving_spec_hints", {}).clear()
+        eng = MoeDecodeEngine(layer, p, max_batch=32,
+                              speculative_capacity=spec,
+                              capacity_bucket=1)
+        reqs = [Request(uid=i,
+                        state=np.asarray(jax.random.normal(
+                            jax.random.fold_in(jax.random.PRNGKey(11), i),
+                            (32,))),
+                        remaining=6)
+                for i in range(32)]
+        return eng, eng.run(reqs, chunk=3, key=jax.random.PRNGKey(2))
+
+
+    # capacity_override is a per-(expert, source-shard) buffer: even
+    # full skew needs only s_loc = 32/8 = 4 rows per shard, so a margin
+    # covering the shard-local fill can never overflow. margin=1 gives
+    # cap = ceil(1*4/16) = 1 < 4, which the skewed routing (4 rows to
+    # expert 0 from every shard) must overflow and replay.
+    for p, expect_retry in ((params, None), (skew, True)):
+        getattr(layer, "_serving_spec_hints", {}).clear()
+        eng_probe = MoeDecodeEngine(layer, p, max_batch=32,
+                                    speculative_capacity=1.0,
+                                    capacity_bucket=1)
+        assert eng_probe._spec_cap(32, 32) < 4
+        eng_s, out_s = drive(p, 1.0)
+        eng_w, out_w = drive(p, 0.0)
+        assert eng_w.stats["spec_retries"] == 0
+        if expect_retry:
+            assert eng_s.stats["spec_retries"] > 0
+        for uid in out_w:
+            np.testing.assert_allclose(
+                np.asarray(out_s[uid]), np.asarray(out_w[uid]),
+                rtol=1e-5, atol=1e-8, err_msg=str(uid))
+
+
+def test_lm_attn_bucket_window_is_exact():
+    """Bucketed attention windows (read only ceil(live/bucket)*bucket
+    cache positions) must generate the same tokens as full-cache reads:
+    positions past pos are masked to exactly zero probability either
+    way, so the slice removes only exact zeros."""
+    from tutel_tpu.serving import LmDecodeEngine, LmRequest
+    from tutel_tpu.models import TransformerMoE, TransformerMoEConfig
+    cfg = TransformerMoEConfig(
+        vocab_size=61, max_len=96, model_dim=32, num_heads=2,
+        num_layers=2, ffn_hidden=64, moe_every=2, num_local_experts=4,
+        top_k=2, expert_hidden=64, capacity_factor=0.0)
+    model = TransformerMoE(cfg, group=jax.devices()[:1])
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(7)
+    prompts = [rng.randint(0, cfg.vocab_size, size=5).astype(np.int32)
+               for _ in range(6)]
+
+    def drive(bucket):
+        eng = LmDecodeEngine(model, params, max_batch=6,
+                             moe_overrides={"capacity_override": 6},
+                             attn_bucket=bucket)
+        return eng.run([LmRequest(uid=i, prompt=p, max_new_tokens=20)
+                        for i, p in enumerate(prompts)], chunk=4)
+
+    full = drive(0)                       # always read max_len
+    win = drive(8)                        # 8-position buckets bind hard
+    # the window actually engaged: a distinct compiled variant exists
+    assert any(k[4] not in (None,) for k in
+               model._serving_decode_cache if k[0] == "v2"), \
+        list(model._serving_decode_cache)
+    for uid in full:
+        assert win[uid].tolist() == full[uid].tolist(), uid

@@ -1220,17 +1220,18 @@ class MOELayer:
 
         Returns fn(params, x2, key, token_mask=None) -> scalar int32:
         the capacity the routing of x2 actually needs (max tokens any
-        expert received; the reference's `locations2.max() + 1`,
-        fast_dispatch.py:191-193). Unlike `resolve_capacity` this is
-        pure traced computation — no host sync — so callers (e.g. the
-        serving engine's speculative-capacity chunks) can carry the
-        needed capacity through a lax.scan and validate a speculated
-        buffer size after the fact. Single-device layers only: the
-        routing decision is local, so no cross-device MAX is needed.
+        expert received from any shard; the reference's
+        `locations2.max() + 1`, fast_dispatch.py:191-193). Unlike
+        `resolve_capacity` this is pure traced computation — no host
+        sync — so callers (e.g. the serving engine's
+        speculative-capacity chunks) can carry the needed capacity
+        through a lax.scan and validate a speculated buffer size after
+        the fact. With world_size > 1 the probe runs per shard under
+        the layer's own mesh with a pmax over the EP axes, matching
+        `capacity_override`'s per-(expert, shard) buffer semantics;
+        token_mask (a GLOBAL [S] bool array) shards over the token axis
+        exactly like the layer's input.
         """
-        assert self.world_size == 1, (
-            "count_needed_traceable is single-device; multi-device "
-            "callers need a pmax over the EP axes (see _build_count)")
         gate = self.gates[gate_index]
         tk = min(int(top_k or gate.top_k), self.num_global_experts)
         cfg = _VariantCfg(
@@ -1239,10 +1240,39 @@ class MOELayer:
             megablocks_size=0, training=training, use_2dh=self._flat_2dh(),
             batch_prioritized=self.batch_prioritized_routing)
 
-        def fn(params, x2, key, token_mask=None):
+        if self.world_size == 1:
+            def fn(params, x2, key, token_mask=None):
+                crit, _ = self._routing_local(
+                    cfg, params["gates"][gate_index], x2, key, token_mask)
+                return routing_ops.required_capacity(crit.dispatch_count)
+            return fn
+
+        ep_axes = self._ep_axes()
+        mesh = self._mesh(max(self.adaptive_degree, 1))
+
+        def body(gate_params, x_local, key, mask_local):
+            idx = lax.axis_index(ep_axes)
+            local_key = jax.random.fold_in(key, idx)
             crit, _ = self._routing_local(
-                cfg, params["gates"][gate_index], x2, key, token_mask)
-            return routing_ops.required_capacity(crit.dispatch_count)
+                cfg, gate_params, x_local, local_key, mask_local)
+            return lax.pmax(
+                routing_ops.required_capacity(crit.dispatch_count),
+                ep_axes)
+
+        def fn(params, x2, key, token_mask=None):
+            gp = params["gates"][gate_index]
+            gspec = jax.tree.map(lambda _: P(), gp)
+            if token_mask is None:
+                shmapped = jax.shard_map(
+                    lambda g, x, k: body(g, x, k, None), mesh=mesh,
+                    in_specs=(gspec, P(ep_axes), P()),
+                    out_specs=P(), check_vma=False)
+                return shmapped(gp, x2, key)
+            shmapped = jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(gspec, P(ep_axes), P(), P(ep_axes)),
+                out_specs=P(), check_vma=False)
+            return shmapped(gp, x2, key, token_mask)
         return fn
 
     def _build_count(self, gate_index, top_k, training):

@@ -184,8 +184,18 @@ class TransformerMoE:
         z = lambda: jnp.zeros((batch, cfg.max_len, nh, hd), cfg.dtype)
         return [{"k": z(), "v": z()} for _ in range(cfg.num_layers)]
 
-    def _attn_step(self, block, x, ck, cv, pos):
-        """One-token attention: x [B, d], cache [B, T, nh, hd], pos [B]."""
+    def _attn_step(self, block, x, ck, cv, pos, attn_len=None):
+        """One-token attention: x [B, d], cache [B, T, nh, hd], pos [B].
+
+        attn_len (static) bounds the cache READ to the first attn_len
+        positions — EXACT whenever every row's pos < attn_len, because
+        positions past pos are masked to -1e30 before the softmax and
+        contribute exactly zero probability either way. The full decode
+        step otherwise reads the whole [B, max_len] cache every token
+        (2.1 GB/step at B=256, T=256, 4 layers — the measured dominant
+        HBM cost of LM decode), so a serving engine that knows the max
+        live position can cut attention reads to O(actual length); see
+        LmDecodeEngine's attn_bucket."""
         cfg = self.cfg
         b, d = x.shape
         nh, hd = cfg.num_heads, d // cfg.num_heads
@@ -196,26 +206,55 @@ class TransformerMoE:
         rows = jnp.arange(b)
         ck = ck.at[rows, pos].set(k.reshape(b, nh, hd))
         cv = cv.at[rows, pos].set(v.reshape(b, nh, hd))
-        scores = jnp.einsum("bhd,bthd->bht", q, ck,
+        t = cfg.max_len if attn_len is None else min(int(attn_len),
+                                                     cfg.max_len)
+        rk = ck[:, :t] if t < cfg.max_len else ck
+        rv = cv[:, :t] if t < cfg.max_len else cv
+        scores = jnp.einsum("bhd,bthd->bht", q, rk,
                             preferred_element_type=jnp.float32)
         scores = scores * (hd ** -0.5)
-        mask = jnp.arange(cfg.max_len)[None, :] <= pos[:, None]
+        mask = jnp.arange(t)[None, :] <= pos[:, None]
         scores = jnp.where(mask[:, None, :], scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bht,bthd->bhd", probs, cv,
+        out = jnp.einsum("bht,bthd->bhd", probs, rv,
                          preferred_element_type=jnp.float32).astype(x.dtype)
         out = out.reshape(b, d)
         return jnp.einsum("bd,de->be", out, block["wo"],
                           preferred_element_type=jnp.float32).astype(
             x.dtype), ck, cv
 
+    def _decode_count_fn(self, i: int, top_k):
+        """Cached per-MoE-layer traced needed-capacity probe (see
+        MOELayer.count_needed_traceable) for `apply_decode`'s
+        capacity_probe option."""
+        cache = getattr(self, "_count_fn_cache", None)
+        if cache is None:
+            cache = self._count_fn_cache = {}
+        fn = cache.get((i, top_k))
+        if fn is None:
+            fn = self.moe_layers[i].count_needed_traceable(
+                gate_index=0, top_k=top_k, training=False)
+            cache[(i, top_k)] = fn
+        return fn
+
     def apply_decode(self, params, tokens, cache, pos, key=None,
-                     moe_overrides: Optional[dict] = None):
+                     moe_overrides: Optional[dict] = None,
+                     capacity_probe: bool = False,
+                     attn_len: Optional[int] = None):
         """One decode step: tokens [B] int32 at positions pos [B].
 
         Returns (logits [B, V], new_cache, l_aux_sum). Numerically the
         same computation as `apply` at those positions (pinned by
-        tests/test_transformer.py decode-==-full test)."""
+        tests/test_transformer.py decode-==-full test).
+
+        capacity_probe=True additionally returns a traced int32 scalar:
+        the max dropless capacity any MoE layer's routing of THIS step
+        actually needed (max over layers of tokens-per-expert). Costs
+        one extra gate matmul per MoE layer (~30 us/step measured on
+        v5e at [256, 2048]x[2048, 128]); lets a serving engine run
+        decode at a small speculated `capacity_override` and replay the
+        rare chunk whose routing overflowed it — see
+        LmDecodeEngine(speculative_capacity=...)."""
         cfg = self.cfg
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -223,18 +262,23 @@ class TransformerMoE:
         x = x.astype(cfg.dtype)
         l_aux_sum = jnp.float32(0)
         overrides = dict(moe_overrides or {})
+        needed_max = jnp.int32(0)
         new_cache = []
         for i, block in enumerate(params["blocks"]):
             a, ck, cv = self._attn_step(
                 block, self._ln(block["ln1"], x),
-                cache[i]["k"], cache[i]["v"], pos)
+                cache[i]["k"], cache[i]["v"], pos, attn_len=attn_len)
             new_cache.append({"k": ck, "v": cv})
             x = x + a
             h = self._ln(block["ln2"], x)
             if i in self.moe_layers:
+                lk = jax.random.fold_in(key, i)
+                if capacity_probe:
+                    needed = self._decode_count_fn(
+                        i, overrides.get("top_k"))(block["moe"], h, lk)
+                    needed_max = jnp.maximum(needed_max, needed)
                 out, l_aux = self.moe_layers[i](
-                    block["moe"], h, key=jax.random.fold_in(key, i),
-                    **overrides)
+                    block["moe"], h, key=lk, **overrides)
                 x = x + out
                 l_aux_sum = l_aux_sum + l_aux.astype(jnp.float32)
             else:
@@ -248,6 +292,8 @@ class TransformerMoE:
         x = self._ln(params["final_ln"], x)
         logits = jnp.einsum("bd,vd->bv", x.astype(jnp.float32),
                             params["embed"].astype(jnp.float32))
+        if capacity_probe:
+            return logits, new_cache, l_aux_sum, needed_max
         return logits, new_cache, l_aux_sum
 
     def prefill(self, params, prompts, cache, key=None,
@@ -257,7 +303,9 @@ class TransformerMoE:
         Returns (logits_last [B, V], cache) where logits_last predicts
         the token after each prompt's last position. Token-by-token
         (a lax.scan of `apply_decode`), so it exercises exactly the
-        serving path; chunked MoE prefill is a future optimization."""
+        serving path; chunked MoE prefill is a future optimization.
+        Attention reads are bounded to the prompt length (exact — every
+        position past t is masked; see _attn_step attn_len)."""
         b, tp = prompts.shape
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -268,7 +316,7 @@ class TransformerMoE:
                 params, prompts[:, t], cache,
                 jnp.full((b,), t, jnp.int32),
                 key=jax.random.fold_in(key, t),
-                moe_overrides=moe_overrides)
+                moe_overrides=moe_overrides, attn_len=tp)
             return (cache, logits), None
 
         (cache, logits), _ = jax.lax.scan(

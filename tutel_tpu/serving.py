@@ -137,14 +137,26 @@ class MoeDecodeEngine:
         # state at the observed capacity — dropless semantics are
         # preserved exactly, and the (rare) retry costs one extra chunk.
         # 0 disables (always worst-case). Auto-disabled for expert-
-        # choice gates (their capacity is exact by construction) and
-        # multi-device layers (the probe is single-device).
+        # choice gates (their capacity is exact by construction);
+        # multi-device layers probe per shard with a pmax over the EP
+        # axes (count_needed_traceable handles both).
         gate0 = layer.gates[0]
         self.speculative_capacity = float(speculative_capacity or 0)
-        if getattr(gate0, "expert_choice", False) or layer.world_size > 1:
+        if getattr(gate0, "expert_choice", False):
             self.speculative_capacity = 0.0
         self._count_fn = None
-        self._spec_hint: Dict[int, int] = {}  # fill bucket -> max needed
+        # observed-need hints are SHARED across engines on the layer
+        # (like the compiled-chunk cache): a retry discovers a capacity
+        # and compiles its chunk once; later engine instances driving
+        # the same layer start from that capacity instead of
+        # re-discovering (and re-compiling) it. Keyed by (top_k, fill
+        # bucket); different params sharing a layer can only make the
+        # hint conservative (a too-large cap costs speed, never
+        # correctness — too small just retries once).
+        hints = getattr(layer, "_serving_spec_hints", None)
+        if hints is None:
+            hints = layer._serving_spec_hints = {}
+        self._spec_hint = hints        # (top_k, fill bucket) -> needed
         self._order_cache = None       # device perm/inv/mask, see below
         self._key_dev = jax.random.PRNGKey(0)   # device-resident chain
         self._spec_over = jnp.asarray(False)
@@ -213,12 +225,18 @@ class MoeDecodeEngine:
         raised to the largest routing need OBSERVED at this fill (the
         hint a previous chunk's probe reported — retries never repeat
         for a stationary workload), bucket-aligned, clipped to
-        [bucket, worst]."""
+        [bucket, worst]. Multi-device: capacity_override is a
+        per-(expert, source-shard) buffer, so the average is over the
+        largest SHARD's valid tokens (the layer maps scalar
+        valid_tokens to clip(n - shard*local, 0, local))."""
         tk = min(int(self.top_k or self.layer.gates[0].top_k),
                  self.layer.num_global_experts)
-        avg = -(-tk * n_valid // self.layer.num_global_experts)
+        w = self.layer.world_size
+        s_loc = min(n_valid, -(-self.max_batch // w)) if w > 1 else n_valid
+        avg = -(-tk * s_loc // self.layer.num_global_experts)
         cap = int(avg * self.speculative_capacity)
-        hint = self._spec_hint.get(self._bucket(n_valid), 0)
+        hint = self._spec_hint.get(
+            (self.top_k, self._bucket(n_valid)), 0)
         cap = max(cap, hint)
         cap = -(-cap // self.capacity_bucket) * self.capacity_bucket
         return max(self.capacity_bucket, min(cap, worst))
@@ -330,7 +348,8 @@ class MoeDecodeEngine:
             # needs anyway — no extra round-trip on the happy path
             out_np, mx_host = jax.device_get((out[:n_valid], mx))
             fb = self._bucket(n_valid)
-            self._spec_hint[fb] = max(self._spec_hint.get(fb, 0),
+            hk = (self.top_k, fb)
+            self._spec_hint[hk] = max(self._spec_hint.get(hk, 0),
                                       int(mx_host))
             if int(mx_host) <= cap:
                 break
@@ -547,7 +566,10 @@ class LmDecodeEngine:
     def __init__(self, model, params, max_batch: int,
                  moe_overrides: Optional[dict] = None,
                  auto_fuse: bool = True,
-                 sampler: Optional[dict] = None):
+                 sampler: Optional[dict] = None,
+                 speculative_capacity: float = 0.0,
+                 capacity_bucket: int = 8,
+                 attn_bucket: int = 64):
         self.model = model
         if auto_fuse and isinstance(params, dict) \
                 and isinstance(params.get("blocks"), list):
@@ -580,7 +602,50 @@ class LmDecodeEngine:
         self._remaining = [0] * self.max_batch
         self._staged: List[Any] = []   # (slot, LmRequest)
         self._generated: Dict[Any, List[int]] = {}
-        self.stats = {"steps": 0, "tokens": 0, "joined": 0, "finished": 0}
+        self.stats = {"steps": 0, "tokens": 0, "joined": 0, "finished": 0,
+                      "spec_retries": 0}
+        # Speculative dropless capacity for the DECODE chunks, same
+        # scheme as MoeDecodeEngine (margin x average per-expert load,
+        # traced needed-capacity probe via apply_decode(capacity_probe),
+        # replay-on-overflow): at 256 slots / 128 experts the worst-case
+        # buffer is 64x the average load and measured 4.05x slower per
+        # chunk on the single-layer engine (docs/RESULTS.md). OPT-IN
+        # here (default 0 = off), for two reasons: (a) the replayed
+        # chunk's logits match the worst case only up to float reduction
+        # order (different capacity -> different XLA dot tiling), so an
+        # argmax TIE can select a different token — the engine's
+        # exact-vs-full-forward guarantee holds only with speculation
+        # off; (b) speculation enforces dropless decode via
+        # capacity_override, superseding any capacity_factor in
+        # moe_overrides. Auto-disabled for multi-device / expert-choice
+        # MoE layers (the probe is single-device; EC capacity is exact).
+        self.capacity_bucket = max(int(capacity_bucket), 1)
+        self.speculative_capacity = float(speculative_capacity or 0)
+        for lay in getattr(model, "moe_layers", {}).values():
+            if lay.world_size > 1 or getattr(lay.gates[0],
+                                             "expert_choice", False):
+                self.speculative_capacity = 0.0
+        if not getattr(model, "moe_layers", None):
+            self.speculative_capacity = 0.0
+        # shared across engines on the model, same rationale as the
+        # MoeDecodeEngine layer-level hints (a hint only raises the
+        # speculated cap; stale-params hints cost speed, not tokens)
+        hints = getattr(model, "_serving_spec_hints", None)
+        if hints is None:
+            hints = model._serving_spec_hints = {}
+        self._spec_hints = hints       # (ov_key, max_batch) -> needed
+        # Bucketed attention windows: the full decode step reads the
+        # whole [B, max_len] KV cache every token (the measured dominant
+        # HBM cost of LM decode — 2.1 GB/step at B=256, T=256, 4
+        # layers), but the engine knows every live position exactly
+        # (prompt length + tokens generated, tracked host-side with no
+        # sync), so chunks read only ceil((max live pos + chunk) /
+        # attn_bucket) * attn_bucket positions — EXACT (positions past
+        # pos are masked to zero probability either way) and compiled
+        # once per bucket. 0 disables (always read max_len).
+        self.attn_bucket = int(attn_bucket)
+        self._host_pos = [0] * self.max_batch
+        self._spec_over = jnp.asarray(False)
 
     @property
     def active(self) -> int:
@@ -648,6 +713,8 @@ class LmDecodeEngine:
                 }
             self._tok = self._tok.at[slots].set(first_tok)
             self._pos = self._pos.at[slots].set(jnp.int32(tp))
+            for slot, _ in group:
+                self._host_pos[slot] = tp
             # the prefill's selection is the first generated token
             for j, (slot, req) in enumerate(group):
                 tok = int(first_tok[j])
@@ -658,31 +725,98 @@ class LmDecodeEngine:
 
     # -- chunked decode -------------------------------------------------
 
-    def _decode_fn(self, n_steps: int):
+    def _decode_fn(self, n_steps: int, cap: Optional[int] = None,
+                   with_probe: bool = False,
+                   attn_len: Optional[int] = None):
+        """One compiled dispatch for a decode chunk, including the
+        sampling-key-chain advance (the per-chunk host-side
+        PRNGKey/split was one extra device op per chunk — a link
+        round-trip on a remote-attached device).
+
+        cap != None decodes with `capacity_override=cap` on every MoE
+        layer; with_probe=True additionally threads the traced
+        needed-capacity probe (apply_decode(capacity_probe=True))
+        through the scan and returns (max needed, overflowed);
+        attn_len bounds the per-step KV-cache read (exact — see
+        TransformerMoE._attn_step).
+
+        Returns run(params, kv, tok, pos, key) ->
+        (kv, tok, pos, toks, next_key[, mx, over])."""
         cache = getattr(self.model, "_serving_decode_cache", None)
         if cache is None:
             cache = self.model._serving_decode_cache = {}
-        fn = cache.get((n_steps, self._ov_key))
+        ck = ("v2", n_steps, cap, with_probe, attn_len) + self._ov_key
+        fn = cache.get(ck)
         if fn is None:
             model, ov = self.model, self.moe_overrides
+            if cap is not None:
+                ov = {**ov, "capacity_override": cap}
             select = self._select
 
             def fn(params, kv, tok, pos, key):
-                def body(carry, _):
-                    kv, tok, pos, key = carry
-                    logits, kv, _aux = model.apply_decode(
-                        params, tok, kv, pos, moe_overrides=ov)
-                    key, sk = jax.random.split(key)
-                    nxt = select(logits, sk)
-                    return (kv, nxt, pos + 1, key), nxt
+                next_key, sub = jax.random.split(key)
 
-                (kv, tok, pos, key), toks = jax.lax.scan(
-                    body, (kv, tok, pos, key), None, length=n_steps)
-                return kv, tok, pos, toks
+                def body(carry, _):
+                    kv, tok, pos, k, mx = carry
+                    if with_probe:
+                        logits, kv, _aux, needed = model.apply_decode(
+                            params, tok, kv, pos, moe_overrides=ov,
+                            capacity_probe=True, attn_len=attn_len)
+                        mx = jnp.maximum(mx, needed)
+                    else:
+                        logits, kv, _aux = model.apply_decode(
+                            params, tok, kv, pos, moe_overrides=ov,
+                            attn_len=attn_len)
+                    k, sk = jax.random.split(k)
+                    nxt = select(logits, sk)
+                    return (kv, nxt, pos + 1, k, mx), nxt
+
+                (kv, tok, pos, _, mx), toks = jax.lax.scan(
+                    body, (kv, tok, pos, sub, jnp.int32(0)), None,
+                    length=n_steps)
+                if with_probe:
+                    return kv, tok, pos, toks, next_key, mx, mx > cap
+                return kv, tok, pos, toks, next_key
 
             fn = jax.jit(fn)
-            cache[(n_steps, self._ov_key)] = fn
+            cache[ck] = fn
         return fn
+
+    def _attn_len(self, n_steps: int) -> Optional[int]:
+        """Static attention-window bound for the next n_steps: largest
+        live position + the chunk, attn_bucket-aligned, None (= read
+        max_len) when disabled or the bound reaches max_len. Inactive
+        slots decode junk whose positions are irrelevant (their rows
+        are never read back), so only active slots bound the window."""
+        if self.attn_bucket <= 0:
+            return None
+        mp = max((self._host_pos[s] for s, r in enumerate(self._slots)
+                  if r is not None), default=0)
+        b = self.attn_bucket
+        t = min((mp + n_steps + b - 1) // b * b, self.model.cfg.max_len)
+        return None if t >= self.model.cfg.max_len else t
+
+    def _lm_spec_cap(self) -> int:
+        """Speculated dropless capacity for a decode step: margin x the
+        average per-expert load over the FULL slot buffer (every slot
+        row routes, occupied or not), raised to the largest observed
+        need, bucket-aligned, clipped to [bucket, max_batch]."""
+        tk = self.moe_overrides.get("top_k") or self.model.cfg.top_k
+        e = min(l.num_global_experts
+                for l in self.model.moe_layers.values())
+        tk = min(int(tk), e)
+        avg = -(-tk * self.max_batch // e)
+        hint = self._spec_hints.get((self._ov_key, self.max_batch), 0)
+        cap = max(int(avg * self.speculative_capacity), hint)
+        cap = -(-cap // self.capacity_bucket) * self.capacity_bucket
+        return max(self.capacity_bucket, min(cap, self.max_batch))
+
+    @property
+    def spec_overflow(self) -> bool:
+        """True if any fetch=False speculative chunk overflowed its
+        buffer (its tokens are invalid — benchmarking mode only;
+        fetch=True chunks replay on overflow and stay dropless)."""
+        return bool(self._spec_over)
 
     def step_chunk(self, n_steps: int, fetch: bool = True
                    ) -> Dict[Any, List[int]]:
@@ -708,9 +842,49 @@ class LmDecodeEngine:
         n_steps = max(1, min(
             n_steps, *[self._remaining[s] for s, r in
                        enumerate(self._slots) if r is not None]))
-        self._key, sk = jax.random.split(self._key)
-        self.cache, self._tok, self._pos, toks = self._decode_fn(n_steps)(
-            self.params, self.cache, self._tok, self._pos, sk)
+        toks_np = None
+        attn_len = self._attn_len(n_steps)
+        if self.speculative_capacity > 0:
+            # run at the speculated capacity; replay this chunk from
+            # its (immutable) pre-chunk state at the observed capacity
+            # if any step's routing overflowed the speculation
+            pre_kv, pre_tok, pre_pos = self.cache, self._tok, self._pos
+            key, cap = self._key, self._lm_spec_cap()
+            while True:
+                kv, tok, pos, toks, nkey, mx, over = self._decode_fn(
+                    n_steps, cap=cap, with_probe=True,
+                    attn_len=attn_len)(
+                    self.params, pre_kv, pre_tok, pre_pos, key)
+                if cap >= self.max_batch:
+                    break                  # lossless by construction
+                if not fetch:
+                    # no host sync allowed: record the overflow flag
+                    # device-side (see spec_overflow)
+                    self._spec_over = jnp.logical_or(self._spec_over,
+                                                     over)
+                    break
+                # the overflow check rides the token fetch the caller
+                # needs anyway — no extra round-trip on the happy path
+                toks_np, mx_host = jax.device_get((toks, mx))
+                hk = (self._ov_key, self.max_batch)
+                self._spec_hints[hk] = max(
+                    self._spec_hints.get(hk, 0), int(mx_host))
+                if int(mx_host) <= cap:
+                    break
+                self.stats["spec_retries"] += 1
+                toks_np = None
+                cap = min(self.max_batch,
+                          -(-int(mx_host) // self.capacity_bucket)
+                          * self.capacity_bucket)
+            self.cache, self._tok, self._pos, self._key = \
+                kv, tok, pos, nkey
+        else:
+            (self.cache, self._tok, self._pos, toks,
+             self._key) = self._decode_fn(n_steps, attn_len=attn_len)(
+                self.params, self.cache, self._tok, self._pos, self._key)
+        for slot, req in enumerate(self._slots):
+            if req is not None:
+                self._host_pos[slot] += n_steps
         if not fetch:
             for slot, req in enumerate(self._slots):
                 if req is None:
@@ -723,7 +897,12 @@ class LmDecodeEngine:
                     self.stats["finished"] += 1
             self.stats["steps"] += n_steps
             return {}
-        toks_np = np.asarray(jax.device_get(toks))     # [n_steps, B]
+        # ONE batched device->host transfer per chunk (the speculative
+        # path may have fetched already — its overflow check rides the
+        # same transfer)
+        if toks_np is None:
+            toks_np = jax.device_get(toks)             # [n_steps, B]
+        toks_np = np.asarray(toks_np)
 
         results: Dict[Any, List[int]] = {}
         for slot, req in enumerate(self._slots):
