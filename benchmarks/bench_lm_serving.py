@@ -142,7 +142,12 @@ def main():
         _ = int(jax.device_get(e._tok[0]))            # trailing fetch
         return time.perf_counter() - t0
 
-    n = max(2, 16 // args.chunk)
+    # the differenced quantity (t_3n - t_n = 2n chunks of device time)
+    # must dwarf the tunnel's 30-450 ms RTT jitter: n=2 at 16-step
+    # chunks differenced ~0.5 s and swung +-15% between runs; n=6
+    # differences ~1.6 s and stabilizes
+    fit = ((args.max_len - args.prompt_len) // args.chunk - 1) // 3
+    n = max(2, min(96 // args.chunk, fit))
     tries = 3 if platform == "tpu" else 1
     t_n = min(device_time(n) for _ in range(tries))
     t_3n = min(device_time(3 * n) for _ in range(tries))

@@ -628,6 +628,8 @@ def test_speculative_capacity_multi_device_ep():
                                     speculative_capacity=1.0,
                                     capacity_bucket=1)
         assert eng_probe._spec_cap(32, 32) < 4
+        # the WORST-case path is shard-local too: 4 rows/shard, not 32
+        assert eng_probe._worst_cap(32) == 4
         eng_s, out_s = drive(p, 1.0)
         eng_w, out_w = drive(p, 0.0)
         assert eng_w.stats["spec_retries"] == 0

@@ -218,6 +218,19 @@ class MoeDecodeEngine:
             self._capacity_cache[fill_bucket] = cap
         return cap
 
+    def _worst_cap(self, n_valid: int) -> int:
+        """Content-independent lossless capacity for `n_valid` active
+        tokens. Multi-device: capacity_override is a per-(expert,
+        SOURCE-SHARD) buffer and each shard holds ceil(max_batch/W)
+        rows of the packed buffer, so the lossless bound is the
+        shard-local fill, not the global one — a W-fold tightening
+        for worst-case EP decode."""
+        worst = self._capacity_for(self._bucket(n_valid), None)
+        if self.layer.world_size > 1:
+            local = -(-self.max_batch // self.layer.world_size)
+            worst = min(worst, self._bucket(min(n_valid, local)))
+        return worst
+
     # -- speculative dropless capacity -----------------------------------
 
     def _spec_cap(self, n_valid: int, worst: int) -> int:
@@ -417,7 +430,7 @@ class MoeDecodeEngine:
         order = [i for i, r in enumerate(self._slots) if r is not None] + \
                 [i for i, r in enumerate(self._slots) if r is None]
         perm, inv, amask = self._order_arrays(order, n_valid)
-        worst = self._capacity_for(self._bucket(n_valid), None)
+        worst = self._worst_cap(n_valid)
         key_in = self._key_dev if key is None else key
 
         out_np = None
