@@ -208,20 +208,53 @@ class TransformerMoE:
         cv = cv.at[rows, pos].set(v.reshape(b, nh, hd))
         t = cfg.max_len if attn_len is None else min(int(attn_len),
                                                      cfg.max_len)
-        rk = ck[:, :t] if t < cfg.max_len else ck
-        rv = cv[:, :t] if t < cfg.max_len else cv
-        scores = jnp.einsum("bhd,bthd->bht", q, rk,
-                            preferred_element_type=jnp.float32)
-        scores = scores * (hd ** -0.5)
-        mask = jnp.arange(t)[None, :] <= pos[:, None]
-        scores = jnp.where(mask[:, None, :], scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bht,bthd->bhd", probs, rv,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
+        kern = self._attn_kernel_mode(d)
+        if kern:
+            # fused flash-decode Pallas kernel: streams each row's K/V
+            # window through VMEM once (XLA's slice+matvec lowering
+            # measured 1.3-2.5x slower on v5e; ops/decode_attn_pallas)
+            from ..ops.decode_attn_pallas import decode_attn
+            out = decode_attn(q, ck, cv, pos, attn_len=t,
+                              interpret=(kern == "interpret"))
+        else:
+            rk = ck[:, :t] if t < cfg.max_len else ck
+            rv = cv[:, :t] if t < cfg.max_len else cv
+            scores = jnp.einsum("bhd,bthd->bht", q, rk,
+                                preferred_element_type=jnp.float32)
+            scores = scores * (hd ** -0.5)
+            mask = jnp.arange(t)[None, :] <= pos[:, None]
+            scores = jnp.where(mask[:, None, :], scores, -1e30)
+            probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+            out = jnp.einsum("bht,bthd->bhd", probs, rv,
+                             preferred_element_type=jnp.float32
+                             ).astype(x.dtype)
         out = out.reshape(b, d)
         return jnp.einsum("bd,de->be", out, block["wo"],
                           preferred_element_type=jnp.float32).astype(
             x.dtype), ck, cv
+
+    def _attn_kernel_mode(self, d):
+        """'' = XLA path, 'native' = Pallas flash-decode kernel,
+        'interpret' = kernel in interpret mode (tests off-TPU).
+
+        Auto (env TUTEL_TPU_DECODE_ATTN unset): kernel on TPU when the
+        shapes satisfy its tiling (lane-aligned model dim, 16-aligned
+        cache length). '0' disables; '1' forces (interpret off-TPU)."""
+        import os
+        env = os.environ.get("TUTEL_TPU_DECODE_ATTN", "")
+        if env == "0":
+            return ""
+        aligned = d % 128 == 0 and self.cfg.max_len % 16 == 0
+        if not aligned:
+            if env == "1":
+                raise ValueError(
+                    f"TUTEL_TPU_DECODE_ATTN=1 but model_dim={d} / "
+                    f"max_len={self.cfg.max_len} don't satisfy the "
+                    "kernel tiling (d % 128, max_len % 16)")
+            return ""
+        if jax.default_backend() == "tpu":
+            return "native"
+        return "interpret" if env == "1" else ""
 
     def _decode_count_fn(self, i: int, top_k):
         """Cached per-MoE-layer traced needed-capacity probe (see

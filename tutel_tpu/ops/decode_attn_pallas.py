@@ -1,0 +1,172 @@
+"""Fused decode attention (flash-decode) Pallas kernel.
+
+The LM serving hot path reads each row's K/V cache window every decode
+step. XLA's lowering of the windowed one-token attention (slice +
+batched matvec einsums, models/transformer.py `_attn_step`) measured
+~215-240 us/step/layer on v5e at B=64, window 336 — 2.2x the ~107 us
+HBM roofline of the 88 MB K+V read, because the strided window slice is
+materialized instead of streamed into the dots. This kernel streams
+each row's window through VMEM exactly once: grid (B, W/wc), online-
+softmax (flash) accumulation in VMEM scratch, and both the score and
+the combine ride the MXU over the [wc, D] cache slab via a block-
+diagonal q layout (one dot per slab instead of NH batched matvecs).
+
+Reference parity note: the reference has no serving attention kernel —
+this is a beyond-reference TPU-native addition feeding `LmDecodeEngine`
+(reference tutel/examples — no serving engine; see SURVEY.md §2).
+
+Layout:
+  q   [B, NH, HD]      one query token per row
+  k,v [B, T, NH, HD]   KV cache (only the first `attn_len` positions
+                       are read — exact when every live pos < attn_len,
+                       because later positions are masked to zero
+                       probability either way)
+  pos [B] int32        per-row current position (mask: t <= pos)
+  out [B, NH, HD]
+
+The block-diagonal trick: scores[w, nh] = K[w] . qbd[nh] where
+qbd[nh, nh*HD:(nh+1)*HD] = q[nh] (zeros elsewhere), so the whole-slab
+dot contracts D at once; the combine dot(p [wc, NH], V [wc, D]) gives
+[NH, D] whose block-diagonal slices are the per-head outputs. The
+NH-fold FLOP waste is irrelevant: the step is HBM-bound (the two dots
+are ~11 MFLOP/row against 1.4 MB of DMA).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _decode_attn_kernel(pos_ref, qbd_ref, k_ref, v_ref, o_ref,
+                        acc_ref, m_ref, z_ref, *, wc, n_chunks, nh, hd,
+                        scale, out_dtype):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    p = pos_ref[b]
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        z_ref[...] = jnp.zeros_like(z_ref)
+
+    # positions this chunk covers: j*wc + [0, wc)
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (nh, wc), 1) + j * wc
+    live = t_iota <= p
+
+    # scores [nh, wc] = block-diag(q) . K-slab^T, f32 on the MXU
+    s = jax.lax.dot_general(
+        qbd_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    s = jnp.where(live, s, -1e30)
+
+    # online softmax: rescale the running accumulator by exp(m_old-m_new)
+    m_old = m_ref[...]                                    # [nh, 1]
+    m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+    corr = jnp.exp(m_old - m_new)                         # [nh, 1]
+    e = jnp.exp(s - m_new)                                # [nh, wc]
+    e = jnp.where(live, e, 0.0)
+    m_ref[...] = m_new
+    z_ref[...] = z_ref[...] * corr + jnp.sum(e, axis=1, keepdims=True)
+    # combine: dot(p, V-slab) -> [nh, D]; rescale old acc first
+    d = jax.lax.dot_general(
+        e.astype(k_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [nh, D]
+    acc_ref[...] = acc_ref[...] * corr + d
+
+    @pl.when(j == n_chunks - 1)
+    def _finalize():
+        z = jnp.maximum(z_ref[...], 1e-30)                # [nh, 1]
+        a = acc_ref[...] / z                              # [nh, D]
+        # block-diagonal select: head h's output lives at columns
+        # [h*hd, (h+1)*hd) of row h — mask and fold the heads
+        row = jax.lax.broadcasted_iota(jnp.int32, (nh, nh * hd), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (nh, nh * hd), 1)
+        diag = (c >= row * hd) & (c < (row + 1) * hd)
+        o = jnp.sum(jnp.where(diag, a, 0.0), axis=0, keepdims=True)
+        o_ref[0] = o.astype(out_dtype)
+
+
+def decode_attn(q, k, v, pos, *, attn_len=None, wc=512, interpret=False):
+    """One-token attention over the first `attn_len` cache positions.
+
+    out[b, nh] = softmax_t(q[b, nh] . k[b, t, nh] / sqrt(hd)
+                           | t <= pos[b]) . v[b, :, nh]
+
+    Args:
+      q: [B, NH, HD].
+      k, v: [B, T, NH, HD] KV cache.
+      pos: [B] int32; positions t > pos[b] are masked out.
+      attn_len: static read bound (None = T). Exact whenever every
+        row's pos < attn_len. Rounded up to a multiple of 16.
+      wc: window chunk (VMEM slab length).
+    Returns:
+      [B, NH, HD] in q.dtype.
+    """
+    bsz, nh, hd = q.shape
+    _, t, nh2, hd2 = k.shape
+    assert (nh, hd) == (nh2, hd2), (q.shape, k.shape)
+    d = nh * hd
+    w = t if attn_len is None else min(int(attn_len), t)
+    w = -(-w // 16) * 16
+    w = min(w, t)
+    assert t % 16 == 0, f"cache length {t} must be 16-aligned"
+    wc = min(wc, w)
+    if w % wc:
+        # shrink to a divisor of w (w is 16-aligned so 16 always works)
+        for cand in (256, 128, 64, 32, 16):
+            if cand <= wc and w % cand == 0:
+                wc = cand
+                break
+    n_chunks = w // wc
+
+    # block-diagonal q: qbd[b, h, h*hd:(h+1)*hd] = q[b, h], zeros
+    # elsewhere. Built as eye(nh) x q — a broadcast multiply, NOT a
+    # gather (a take_along_axis here measured ~6 ms/step on v5e: TPU
+    # gathers run at scalar rate)
+    eye = jnp.eye(nh, dtype=q.dtype)                      # [nh, nh]
+    qbd = (eye[None, :, :, None] * q[:, :, None, :]).reshape(bsz, nh, d)
+
+    kf = k.reshape(bsz, t, d)
+    vf = v.reshape(bsz, t, d)
+    scale = hd ** -0.5
+
+    kernel = functools.partial(
+        _decode_attn_kernel, wc=wc, n_chunks=n_chunks, nh=nh, hd=hd,
+        scale=scale, out_dtype=q.dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bsz, n_chunks),
+            in_specs=[
+                pl.BlockSpec((1, nh, d), lambda b, j, pos: (b, 0, 0)),
+                pl.BlockSpec((1, wc, d), lambda b, j, pos: (b, j, 0)),
+                pl.BlockSpec((1, wc, d), lambda b, j, pos: (b, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, d), lambda b, j, pos: (b, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((nh, d), jnp.float32),
+                pltpu.VMEM((nh, 1), jnp.float32),
+                pltpu.VMEM((nh, 1), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, 1, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bsz * w * d,
+            bytes_accessed=2 * bsz * w * d * k.dtype.itemsize,
+            transcendentals=bsz * w * nh),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(pos.astype(jnp.int32), qbd, kf, vf)
+    return out.reshape(bsz, nh, hd)
+
+
+def vmem_bytes_decode_attn(t, d, itemsize, wc=512):
+    """Rough VMEM footprint: double-buffered K+V slabs + scratch."""
+    wc = min(wc, t)
+    return 2 * 2 * wc * d * itemsize + 3 * d * 4
