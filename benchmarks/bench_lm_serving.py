@@ -117,16 +117,17 @@ def main():
     # cost, isolating device-side engine throughput from the link.
     _last = []
 
-    def device_time(n_chunks):
-        # pin ONE attention window for the whole timed run (positions
-        # advance across chunks; letting the window re-bucket mid-loop
-        # would compile a fresh variant inside the timing). The bucket
-        # covers every position the run reaches, so the window is a
-        # constant representative length.
+    def device_time(n_chunks, attn_bucket):
+        # pin ONE attention window — the same for the n and 3n
+        # endpoints (a per-run bucket would give the two runs ~3x
+        # different windows, so the differenced slope would correspond
+        # to an effective window larger than either run decodes at).
+        # The shared bucket is sized from the LARGER run, so it covers
+        # every position both runs reach and each differenced chunk
+        # pays an identical, representative attention cost.
         kw = dict(spec_kw)
         if args.attn:
-            kw["attn_bucket"] = args.prompt_len \
-                + (3 * n_chunks + 2) * args.chunk
+            kw["attn_bucket"] = attn_bucket
         e = LmDecodeEngine(model, params, max_batch=args.batch,
                            moe_overrides=ov, **kw)
         _last[:] = [e]
@@ -148,9 +149,11 @@ def main():
     # differences ~1.6 s and stabilizes
     fit = ((args.max_len - args.prompt_len) // args.chunk - 1) // 3
     n = max(2, min(96 // args.chunk, fit))
+    # one window for both endpoints, sized from the larger (3n) run
+    bucket = args.prompt_len + (3 * n + 2) * args.chunk
     tries = 3 if platform == "tpu" else 1
-    t_n = min(device_time(n) for _ in range(tries))
-    t_3n = min(device_time(3 * n) for _ in range(tries))
+    t_n = min(device_time(n, bucket) for _ in range(tries))
+    t_3n = min(device_time(3 * n, bucket) for _ in range(tries))
     dev_chunk = (t_3n - t_n) / (2 * n)
     dev_tps = (args.batch * args.chunk / dev_chunk) if dev_chunk > 0 else 0
 

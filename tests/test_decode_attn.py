@@ -1,0 +1,185 @@
+"""Flash-decode attention kernel (ops/decode_attn_pallas) oracle tests.
+
+The kernel silently becomes the production TPU attention path of the
+LM serving engine (models/transformer.py `_attn_step` auto-enables it
+when shapes align), so its numerics are pinned here in interpret mode
+against the XLA windowed path — the repo's oracle-test convention for
+every Pallas kernel. Covers unaligned attn_len, pos at chunk
+boundaries, multi-chunk online-softmax accumulation, and the VMEM
+guard's chunk ladder. AOT Mosaic lowering at production sizes lives in
+tests/test_tpu_aot.py::test_decode_attn_mosaic_compiles.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tutel_tpu.ops.decode_attn_pallas import (
+    decode_attn, pick_wc, vmem_bytes_decode_attn, VMEM_BUDGET_BYTES)
+
+
+def _ref_decode_attn(q, k, v, pos, attn_len=None):
+    """The XLA windowed path (models/transformer.py `_attn_step` else-
+    branch), the executable spec the kernel must match."""
+    b, nh, hd = q.shape
+    t = k.shape[1] if attn_len is None else min(int(attn_len), k.shape[1])
+    rk, rv = k[:, :t], v[:, :t]
+    scores = jnp.einsum("bhd,bthd->bht", q, rk,
+                        preferred_element_type=jnp.float32) * (hd ** -0.5)
+    mask = jnp.arange(t)[None, :] <= pos[:, None]
+    scores = jnp.where(mask[:, None, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bht,bthd->bhd", probs, rv,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def _case(b=4, t=64, nh=4, hd=32, dtype=jnp.float32, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(ks[0], (b, nh, hd), dtype)
+    k = jax.random.normal(ks[1], (b, t, nh, hd), dtype)
+    v = jax.random.normal(ks[2], (b, t, nh, hd), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 2e-6),
+                                       (jnp.bfloat16, 2e-2)])
+def test_matches_xla_path(dtype, tol):
+    q, k, v = _case(dtype=dtype)
+    pos = jnp.asarray([0, 13, 31, 63], jnp.int32)
+    out = decode_attn(q, k, v, pos, wc=16, interpret=True)
+    ref = _ref_decode_attn(q, k, v, pos)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=tol, atol=tol)
+
+
+def test_pos_at_chunk_boundaries():
+    """Online-softmax correctness when a row's live window ends exactly
+    at / one past / one before a slab boundary (wc=16)."""
+    q, k, v = _case(b=6, t=64)
+    pos = jnp.asarray([15, 16, 17, 31, 32, 48], jnp.int32)
+    out = decode_attn(q, k, v, pos, wc=16, interpret=True)
+    ref = _ref_decode_attn(q, k, v, pos)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_unaligned_attn_len_rounds_up_exactly():
+    """attn_len=37 rounds to 48 internally; result must equal the
+    windowed reference at 37 (the tail rows are masked by pos)."""
+    q, k, v = _case(b=4, t=64)
+    pos = jnp.asarray([5, 20, 33, 36], jnp.int32)   # all < 37
+    out = decode_attn(q, k, v, pos, attn_len=37, wc=16, interpret=True)
+    ref = _ref_decode_attn(q, k, v, pos, attn_len=37)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-6, atol=2e-6)
+    # and equals the full-window result (positions past pos contribute
+    # exactly zero probability)
+    full = _ref_decode_attn(q, k, v, pos)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full),
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_attn_len_not_divisible_by_wc():
+    """When the rounded window is not a multiple of the requested wc the
+    kernel shrinks wc to a divisor; numerics must be unchanged."""
+    q, k, v = _case(b=2, t=96)
+    pos = jnp.asarray([40, 79], jnp.int32)
+    out = decode_attn(q, k, v, pos, attn_len=80, wc=64, interpret=True)
+    ref = _ref_decode_attn(q, k, v, pos, attn_len=80)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_single_chunk_whole_window():
+    q, k, v = _case(b=2, t=32)
+    pos = jnp.asarray([31, 7], jnp.int32)
+    out = decode_attn(q, k, v, pos, wc=512, interpret=True)
+    ref = _ref_decode_attn(q, k, v, pos)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-6, atol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# VMEM guard (the ladder that picks the streamed slab size)
+# ---------------------------------------------------------------------------
+
+def test_pick_wc_ladder():
+    # small model: the full 512-row slab fits
+    assert pick_wc(2048, 1024, 2, nh=8) == 512
+    # bf16 model_dim=4096: 512-row double-buffered K+V slabs are
+    # ~16.8 MB > budget; the guard must shrink (the advisor's case)
+    wc = pick_wc(2048, 4096, 2, nh=32)
+    assert wc is not None and wc <= 256
+    assert vmem_bytes_decode_attn(2048, 4096, 2, wc=wc,
+                                  nh=32) <= VMEM_BUDGET_BYTES
+    # f32 model_dim=2048 also exceeds at 512
+    assert pick_wc(2048, 2048, 4, nh=16) <= 256
+    # absurdly small budget -> no fit -> caller falls back to XLA
+    assert pick_wc(2048, 4096, 4, nh=32, budget=1024) is None
+
+
+def test_model_falls_back_when_vmem_guard_rejects(monkeypatch):
+    """_attn_step must take the XLA path (not fail) when pick_wc finds
+    no fitting chunk, and raise only under the explicit env force."""
+    from tutel_tpu.models import TransformerMoE, TransformerMoEConfig
+    from tutel_tpu.ops import decode_attn_pallas as dap
+
+    cfg = TransformerMoEConfig(
+        vocab_size=61, max_len=32, model_dim=128, num_heads=4,
+        num_layers=2, ffn_hidden=64, moe_every=2, num_local_experts=2,
+        top_k=1, expert_hidden=64)
+    model = TransformerMoE(cfg, group=jax.devices()[:1])
+    params = model.init(jax.random.PRNGKey(0))
+    cache = model.init_cache(2)
+    tok = jnp.zeros((2,), jnp.int32)
+    pos = jnp.zeros((2,), jnp.int32)
+
+    monkeypatch.setenv("TUTEL_TPU_DECODE_ATTN", "1")
+    monkeypatch.setattr(dap, "pick_wc", lambda *a, **k: None)
+    with pytest.raises(ValueError, match="VMEM budget"):
+        model.apply_decode(params, tok, cache, pos)
+
+    monkeypatch.delenv("TUTEL_TPU_DECODE_ATTN")
+    logits, _, _ = model.apply_decode(params, tok, cache, pos)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+# ---------------------------------------------------------------------------
+# Model-level: kernel path == XLA path through apply_decode
+# ---------------------------------------------------------------------------
+
+def test_apply_decode_kernel_equals_xla(monkeypatch):
+    """TUTEL_TPU_DECODE_ATTN=1 (interpret off-TPU) must reproduce the
+    XLA windowed path through the whole decode step, including the
+    bucketed attn_len the serving engine passes."""
+    from tutel_tpu.models import TransformerMoE, TransformerMoEConfig
+
+    cfg = TransformerMoEConfig(
+        vocab_size=61, max_len=32, model_dim=128, num_heads=4,
+        num_layers=2, ffn_hidden=64, moe_every=2, num_local_experts=2,
+        top_k=1, capacity_factor=8.0, expert_hidden=64)
+    model = TransformerMoE(cfg, group=jax.devices()[:1])
+    params = model.init(jax.random.PRNGKey(0))
+    b = 2
+    toks = jax.random.randint(jax.random.PRNGKey(1), (b, 9), 0,
+                              cfg.vocab_size)
+
+    def chain(env):
+        monkeypatch.setenv("TUTEL_TPU_DECODE_ATTN", env)
+        cache = model.init_cache(b)
+        outs = []
+        for i in range(toks.shape[1]):
+            pos = jnp.full((b,), i, jnp.int32)
+            # exercise both the bucketed window and the full window
+            al = 16 if i < 5 else None
+            logits, cache, _ = model.apply_decode(
+                params, toks[:, i], cache, pos,
+                moe_overrides={"capacity_factor": 8.0}, attn_len=al)
+            outs.append(np.asarray(logits))
+        return np.stack(outs)
+
+    ref = chain("0")
+    out = chain("1")
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)

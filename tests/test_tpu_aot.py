@@ -158,6 +158,34 @@ def test_fused_swiglu_stream_mosaic_compiles():
     assert "tpu_custom_call" in txt, "Mosaic kernel was not emitted"
 
 
+@pytest.mark.parametrize("d,nh,t,dtype", [
+    (1024, 8, 2048, jnp.bfloat16),    # the LM serving bench config
+    (4096, 32, 2048, jnp.bfloat16),   # VMEM-guard regime: wc must shrink
+])
+def test_decode_attn_mosaic_compiles(d, nh, t, dtype):
+    """The flash-decode attention kernel (the production TPU attention
+    path of LmDecodeEngine) lowers through Mosaic for v5e at production
+    sizes, including the shrunken-slab config the VMEM guard picks at
+    bf16 model_dim=4096 (512-row slabs would be ~16.8 MB)."""
+    from tutel_tpu.ops import decode_attn_pallas as dap
+    rep = _replicated(_topology("v5e:2x4"))
+    b, hd = 64, d // nh
+    wc = dap.pick_wc(t, d, jnp.dtype(dtype).itemsize, nh=nh)
+    assert wc is not None
+    if d >= 4096:
+        assert wc <= 256, "guard must shrink the slab at this size"
+
+    def f(q, k, v, pos):
+        return dap.decode_attn(q, k, v, pos, attn_len=t, wc=wc)
+
+    txt = jax.jit(f).lower(
+        _spec((b, nh, hd), dtype, rep),
+        _spec((b, t, nh, hd), dtype, rep),
+        _spec((b, t, nh, hd), dtype, rep),
+        _spec((b,), jnp.int32, rep)).compile().as_text()
+    assert "tpu_custom_call" in txt, "Mosaic kernel was not emitted"
+
+
 def test_fused_vmem_ladder_rejects_large_c():
     """At C=512 the whole-expert stream needs ~18 MB of VMEM (> the
     16 MB/core limit — a direct kernel call fails XLA's scoped-vmem
@@ -361,3 +389,31 @@ def test_expert_choice_tp_compiles_for_4_hosts():
     assert "ragged-all-to-all" in txt, (
         "EC TP must move activations via the ragged exchange")
     _assert_no_activation_gather(txt)
+
+
+def test_seqpar_lm_compiles_for_4_hosts():
+    """The round-4 sequence-parallel (Ulysses) LM forward — SP x EP on
+    one mesh — lowers for the genuine 4-process v5e:4x4 topology: the
+    head<->sequence all-to-all pair and the MoE dispatch/combine a2a
+    must all appear, spanning the full 16-device SP world."""
+    from tutel_tpu.models import TransformerMoE, TransformerMoEConfig
+    devs = _topology("v5e:4x4")
+    n = len(devs)
+    cfg = TransformerMoEConfig(
+        vocab_size=512, max_len=16 * n, model_dim=16 * n, num_heads=n,
+        num_layers=2, ffn_hidden=128, moe_every=2, num_local_experts=1,
+        top_k=2, capacity_factor=1.0, expert_hidden=128,
+        dtype=jnp.bfloat16)
+    model = TransformerMoE(cfg, group=devs)
+    params = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0)))
+    tokens = jax.ShapeDtypeStruct((2, 8 * n), jnp.int32)
+    txt = jax.jit(
+        lambda p, tok: model.apply_seqpar(p, tok)).lower(
+        params, tokens).compile().as_text()
+    a2as = _collective_groups(txt, "all-to-all")
+    assert len(a2as) >= 2, "SP program lost its all-to-all pair"
+    proc_of = {i: d.process_index for i, d in enumerate(devs)}
+    spanning = [g for _, groups in a2as for g in groups
+                if len({proc_of[i] for i in g}) > 1]
+    assert spanning, "no all-to-all spans hosts on the 4-host SP mesh"

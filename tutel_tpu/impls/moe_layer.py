@@ -84,8 +84,9 @@ class MOELayer:
         if num_local_experts > 0:
             return num_local_experts * world_size
         assert world_size % -num_local_experts == 0, (
-            f"Excepting {-num_local_experts} devices to share an expert "
-            f"param, while global device count is {world_size}.")
+            f"num_local_experts={num_local_experts} shards each expert "
+            f"across {-num_local_experts} devices, which must divide the "
+            f"global device count ({world_size}).")
         return world_size // -num_local_experts
 
     def __init__(
@@ -663,6 +664,48 @@ class MOELayer:
             a2a_ffn_overlap_degree or self.a2a_ffn_overlap_degree,
             megablocks_size)
         return routing_ops.align_capacity(max(1, needed), alignment)
+
+    def param_specs(self, params):
+        """PartitionSpec pytree matching `params`, for composing this
+        layer under an OUTER shard_map on a mesh that carries the
+        layer's expert axes (PP x EP, SP x EP): pass the result as the
+        in_specs entry for the layer's params next to `local_forward`.
+        Mirrors `shard_params` placement: experts sharded over the
+        expert axes (QuantizedWeight scales keep size-1 dims
+        replicated; fused streams shard like any expert leaf), gates
+        replicated."""
+        if self.world_size == 1:
+            return jax.tree.map(lambda _: P(), params)
+        from ..ops.quant import QuantizedWeight
+        from ..ops.fused_ffn_pallas import FusedFFNStream
+        ep_axes = self._ep_axes()
+        especs = self._expert_specs(ep_axes)
+
+        def espec(k, v):
+            if isinstance(v, FusedFFNStream):
+                if self.sharded_count > 1:
+                    raise ValueError(
+                        "fused weight streams don't support "
+                        "expert-slicing TP")
+                import dataclasses
+                return dataclasses.replace(
+                    v, wstream=P(ep_axes), sb=P(ep_axes))
+            spec = especs.get(k, (ep_axes,))
+            self._check_quant_sliceable(k, v, spec)
+            if isinstance(v, QuantizedWeight):
+                sspec = [s if v.scales.shape[i] != 1 else None
+                         for i, s in enumerate(spec[:v.scales.ndim])]
+                return QuantizedWeight(
+                    values=P(*spec[:v.values.ndim]), scales=P(*sspec),
+                    bits=v.bits, orig_k=v.orig_k, blocks=v.blocks)
+            return P(*spec[:v.ndim])
+
+        out = dict(params)
+        out["experts"] = {k: espec(k, v)
+                          for k, v in params["experts"].items()}
+        out["gates"] = [jax.tree.map(lambda _: P(), g)
+                        for g in params["gates"]]
+        return out
 
     def local_forward(self, gate_index=0, capacity_factor=None,
                       top_k=None, adaptive_r=None, training=False,
@@ -1242,8 +1285,14 @@ class MOELayer:
 
         if self.world_size == 1:
             def fn(params, x2, key, token_mask=None):
+                # match the layer body's key derivation exactly
+                # (_build_body folds in the device index, 0 here) so a
+                # training=True probe with gate_noise predicts the same
+                # routing the layer will execute
+                local_key = jax.random.fold_in(key, 0)
                 crit, _ = self._routing_local(
-                    cfg, params["gates"][gate_index], x2, key, token_mask)
+                    cfg, params["gates"][gate_index], x2, local_key,
+                    token_mask)
                 return routing_ops.required_capacity(crit.dispatch_count)
             return fn
 

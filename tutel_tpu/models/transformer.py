@@ -18,6 +18,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from ..impls.moe_layer import MOELayer
 
@@ -174,6 +175,180 @@ class TransformerMoE:
         return logits, l_aux_sum
 
     # ------------------------------------------------------------------
+    # Sequence/context parallelism (Ulysses-style SP x EP)
+    # ------------------------------------------------------------------
+
+    def _moe_mesh(self):
+        """The mesh + expert axes the embedded MoE layers run on; the
+        SP token shard rides the SAME flattened axes, so sequence
+        parallelism and expert parallelism share one device mesh."""
+        layers = list(self.moe_layers.values())
+        if not layers:
+            raise ValueError(
+                "apply_seqpar derives its mesh from the MoE layers; "
+                "this model has none (moe_every=0)")
+        l0 = layers[0]
+        for l in layers[1:]:
+            if l.world_size != l0.world_size or l.devices != l0.devices:
+                raise ValueError(
+                    "all MoE layers must share one device group for "
+                    "sequence parallelism")
+        return (l0._mesh(max(l0.adaptive_degree, 1)), l0._ep_axes(),
+                l0.world_size)
+
+    def _attn_seqpar(self, block, x, axes):
+        """Ulysses-style sequence-parallel attention: x [B, T/P, d].
+
+        The head<->sequence all-to-all pair re-shards [B, T/P, NH, hd]
+        to [B, T, NH/P, hd] (each device sees the FULL sequence for its
+        head subset), computes ordinary causal attention, and re-shards
+        back — wire cost 3+1 activation-sized a2a, the SP pattern the
+        reference only sketches (spatial_split,
+        reference tutel/impls/communicate.py:589-604, and parted's A2A
+        re-sharding, reference tutel/parted/patterns.py:91-109; SURVEY
+        §5 long-context owes capability parity, delivered here)."""
+        cfg = self.cfg
+        b, tl, d = x.shape
+        nh, hd = cfg.num_heads, d // cfg.num_heads
+        qkv = jnp.einsum("btd,de->bte", x, block["wqkv"],
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, tl, nh, hd)
+        k = k.reshape(b, tl, nh, hd)
+        v = v.reshape(b, tl, nh, hd)
+        # scatter heads / gather sequence (device j's token block lands
+        # at sequence offset j*tl, so global order is preserved)
+        q, k, v = (jax.lax.all_to_all(a, axes, split_axis=2,
+                                      concat_axis=1, tiled=True)
+                   for a in (q, k, v))
+        t = q.shape[1]
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores * (hd ** -0.5)
+        mask = jnp.tril(jnp.ones((t, t), bool))
+        scores = jnp.where(mask[None, None], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        # scatter sequence / gather heads — the exact inverse
+        out = jax.lax.all_to_all(out, axes, split_axis=1, concat_axis=2,
+                                 tiled=True)
+        out = out.reshape(b, tl, d)
+        return jnp.einsum("btd,de->bte", out, block["wo"],
+                          preferred_element_type=jnp.float32).astype(x.dtype)
+
+    def seqpar_specs(self, params):
+        """(mesh, token_axes, param_specs, logits_spec) for the
+        sequence-parallel forward — exposed so callers can build their
+        own enclosing shard_map/jit around `apply_seqpar`'s body."""
+        mesh, axes, _sp = self._moe_mesh()
+        blocks = []
+        for i, block in enumerate(params["blocks"]):
+            bs = {k: jax.tree.map(lambda _: P(), v)
+                  for k, v in block.items() if k != "moe"}
+            if "moe" in block:
+                bs["moe"] = self.moe_layers[i].param_specs(block["moe"])
+            blocks.append(bs)
+        pspec = {"embed": P(), "pos": P(),
+                 "final_ln": jax.tree.map(lambda _: P(),
+                                          params["final_ln"]),
+                 "blocks": blocks}
+        return mesh, axes, pspec, P(None, axes, None)
+
+    def apply_seqpar(self, params, tokens, key=None, training=False,
+                     moe_overrides: Optional[dict] = None):
+        """Sequence-parallel forward: tokens [B, T] with T sharded over
+        the MoE layers' device mesh -> (logits [B, T, V], l_aux_sum).
+
+        The whole transformer runs under ONE shard_map on the MoE mesh:
+        each device holds T/P tokens; attention re-shards to full-
+        sequence/partial-heads via the Ulysses all-to-all pair
+        (`_attn_seqpar`); the MoE layers consume the token shard
+        directly through `local_forward`, so their expert all-to-all
+        rides the SAME mesh axes — SP composes with EP (and expert-
+        slicing TP) with zero re-sharding between attention and MoE.
+        Numerically equal to `apply` on one device whenever routing
+        drops nothing (pinned by tests/test_seqpar.py).
+
+        Requires T % P == 0 and num_heads % P == 0 (P = the MoE world
+        size). moe_overrides supports top_k / capacity_factor /
+        capacity_override (static-capacity forms — the host-probe
+        dropless path can't run under shard_map)."""
+        cfg = self.cfg
+        mesh, axes, sp = self._moe_mesh()
+        if sp == 1:
+            return self.apply(params, tokens, key=key, training=training,
+                              moe_overrides=moe_overrides)
+        b, t = tokens.shape
+        if t % sp or cfg.num_heads % sp:
+            raise ValueError(
+                f"sequence length {t} and num_heads {cfg.num_heads} "
+                f"must both divide the {sp}-device SP world")
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        ov = dict(moe_overrides or {})
+        moe_fns = {i: self.moe_layers[i].local_forward(
+            capacity_factor=ov.get("capacity_factor"),
+            top_k=ov.get("top_k"),
+            capacity_override=ov.get("capacity_override"),
+            training=training) for i in self.moe_layers}
+
+        def fwd(params, tokens_local, key):
+            idx = jax.lax.axis_index(axes)
+            tl = tokens_local.shape[1]
+            pos_p = jax.lax.dynamic_slice_in_dim(params["pos"],
+                                                 idx * tl, tl)
+            x = (params["embed"][tokens_local]
+                 + pos_p[None]).astype(cfg.dtype)
+            l_aux_sum = jnp.float32(0)
+            for i, block in enumerate(params["blocks"]):
+                x = x + self._attn_seqpar(
+                    block, self._ln(block["ln1"], x), axes)
+                h = self._ln(block["ln2"], x)
+                if i in self.moe_layers:
+                    out, l_aux = moe_fns[i](
+                        block["moe"], h.reshape(-1, h.shape[-1]),
+                        jax.random.fold_in(key, i))
+                    x = x + out.reshape(x.shape).astype(cfg.dtype)
+                    l_aux_sum = l_aux_sum + l_aux.astype(jnp.float32)
+                else:
+                    f = block["ffn"]
+                    hdn = jnp.einsum("btd,dh->bth", h, f["w1"],
+                                     preferred_element_type=jnp.float32)
+                    hdn = jax.nn.gelu(hdn + f["b1"]).astype(cfg.dtype)
+                    o = jnp.einsum("bth,hd->btd", hdn, f["w2"],
+                                   preferred_element_type=jnp.float32)
+                    x = x + (o + f["b2"]).astype(cfg.dtype)
+            x = self._ln(params["final_ln"], x)
+            logits = jnp.einsum("btd,vd->btv", x.astype(jnp.float32),
+                                params["embed"].astype(jnp.float32))
+            # the MoE body's l_aux is already pmeaned over the expert
+            # axes; the pmean here is an idempotent replication proof
+            return logits, jax.lax.pmean(l_aux_sum, axes)
+
+        _, _, pspec, lspec = self.seqpar_specs(params)
+        fn = jax.shard_map(fwd, mesh=mesh,
+                           in_specs=(pspec, P(None, axes), P()),
+                           out_specs=(lspec, P()), check_vma=False)
+        return fn(params, tokens, key)
+
+    def loss_seqpar(self, params, tokens, key=None, training=True,
+                    l_aux_wt=0.01, moe_overrides=None):
+        """Sequence-parallel next-token loss (the SP form of `loss`).
+
+        The shifted input slice tokens[:, :-1] is what shards, so the
+        SEQUENCE LENGTH MUST SATISFY (T - 1) % P == 0 (e.g. T = 33 on
+        an 8-device SP world)."""
+        logits, l_aux = self.apply_seqpar(
+            params, tokens[:, :-1], key=key, training=training,
+            moe_overrides=moe_overrides)
+        targets = tokens[:, 1:]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.mean(jnp.take_along_axis(
+            logp, targets[..., None], axis=-1))
+        return nll + l_aux_wt * l_aux, (nll, l_aux)
+
+    # ------------------------------------------------------------------
     # Incremental decode (KV cache) — the serving path
     # ------------------------------------------------------------------
 
@@ -209,12 +384,30 @@ class TransformerMoE:
         t = cfg.max_len if attn_len is None else min(int(attn_len),
                                                      cfg.max_len)
         kern = self._attn_kernel_mode(d)
+        wc = None
+        if kern:
+            # VMEM guard: shrink the streamed K/V slab under pressure
+            # (e.g. bf16 model_dim=4096 needs wc<=256: the default
+            # 512-row double-buffered slabs would be ~16.8 MB), and
+            # fall back to the XLA windowed path when even the minimum
+            # slab cannot fit — mirroring the fused-FFN ladder.
+            from ..ops.decode_attn_pallas import pick_wc
+            wc = pick_wc(cfg.max_len, d, jnp.dtype(x.dtype).itemsize,
+                         nh=nh)
+            if wc is None:
+                import os
+                if os.environ.get("TUTEL_TPU_DECODE_ATTN", "") == "1":
+                    raise ValueError(
+                        f"TUTEL_TPU_DECODE_ATTN=1 but model_dim={d} "
+                        "exceeds the decode-attn kernel's VMEM budget "
+                        "even at the minimum window chunk")
+                kern = ""
         if kern:
             # fused flash-decode Pallas kernel: streams each row's K/V
             # window through VMEM once (XLA's slice+matvec lowering
             # measured 1.3-2.5x slower on v5e; ops/decode_attn_pallas)
             from ..ops.decode_attn_pallas import decode_attn
-            out = decode_attn(q, ck, cv, pos, attn_len=t,
+            out = decode_attn(q, ck, cv, pos, attn_len=t, wc=wc,
                               interpret=(kern == "interpret"))
         else:
             rk = ck[:, :t] if t < cfg.max_len else ck

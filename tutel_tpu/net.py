@@ -93,7 +93,14 @@ def all_to_all_2dh(x, input_dim, output_dim, outer_axis, inner_axis):
     but decomposed into a local row-block transpose (the reference's
     memStrideCopyKernel), an intra-slice (ICI/inner) exchange, and an
     inter-host (DCN/outer) exchange, so each phase's traffic rides one
-    fabric tier. Supports the MoE hot-path patterns (1, 0) and (0, 1).
+    fabric tier.
+
+    RESTRICTION: unlike `all_to_all` (any dim pair), the hierarchical
+    form implements only the MoE hot-path patterns
+    (input_dim, output_dim) in {(1, 0), (0, 1)} and raises
+    NotImplementedError otherwise — use the flat `all_to_all` over the
+    tuple axis (outer, inner) for other dim pairs (element-identical,
+    single-tier scheduling).
     """
     if input_dim == output_dim:
         return x

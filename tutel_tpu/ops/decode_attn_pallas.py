@@ -166,7 +166,30 @@ def decode_attn(q, k, v, pos, *, attn_len=None, wc=512, interpret=False):
     return out.reshape(bsz, nh, hd)
 
 
-def vmem_bytes_decode_attn(t, d, itemsize, wc=512):
-    """Rough VMEM footprint: double-buffered K+V slabs + scratch."""
+def vmem_bytes_decode_attn(t, d, itemsize, wc=512, nh=1):
+    """VMEM footprint estimate: double-buffered K+V slabs (the dominant
+    term) + the f32 accumulator scratch [nh, d] + the qbd input block
+    and output block."""
     wc = min(wc, t)
-    return 2 * 2 * wc * d * itemsize + 3 * d * 4
+    slabs = 2 * 2 * wc * d * itemsize          # K + V, double-buffered
+    scratch = nh * d * 4 + 2 * nh * 4          # acc + m + z (f32)
+    io = 2 * nh * d * itemsize + d * itemsize  # qbd (dbl-buf) + out
+    return slabs + scratch + io
+
+
+# Leave headroom under the ~16 MB/core VMEM for Mosaic's own buffers;
+# the fused-FFN ladder uses 15 MB, but this kernel's estimate is
+# coarser (per-buffer padding to tile multiples), so budget lower.
+VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def pick_wc(t, d, itemsize, nh=1, budget=VMEM_BUDGET_BYTES):
+    """Largest window chunk whose kernel fits the VMEM budget, or None
+    when even the minimum chunk (16) does not fit — the caller must
+    then take the XLA windowed-attention path. Mirrors the fused-FFN
+    ladder pattern: shrink the streamed slab under VMEM pressure
+    instead of failing to compile at large model_dim."""
+    for wc in (512, 256, 128, 64, 32, 16):
+        if vmem_bytes_decode_attn(t, d, itemsize, wc=wc, nh=nh) <= budget:
+            return wc
+    return None

@@ -17,10 +17,18 @@ cumsum chain. The optional auxiliary is the router z-loss
 (logsumexp^2) which regularizes logit scale; there is nothing to
 balance.
 
-Single-program scope: the expert's top-C runs over the tokens visible
-in this call (under an outer shard_map that is the device-local shard
-— "local expert choice"). Cross-device EC would need a score gather;
-the MOELayer integration therefore requires world_size == 1.
+Distributed scope: `ec_select` itself runs over the tokens visible in
+one call (device-local under an outer shard_map). The MOELayer
+integration lifts this to GLOBAL expert choice on any layout: scores
+only ([s, E], model_dim-free) are all_gathered over the EP axes, the
+replicated top-C selects from the global token pool, and
+`ec_ep_plan`/`ec_ep_dispatch`/`ec_ep_combine` (below) move exactly the
+selected rows via a ragged exchange — the receive side is exactly
+E_local*C rows. Expert-slicing TP shards are `replicas` in the plan
+(partial sums land on the combine's scatter-add), and on ('dcn','ici')
+meshes the exchange rides the hierarchical 2DH ragged all-to-all.
+adaptive_r=0 takes a separate zero-wire full-weight-gather branch.
+See tests/test_expert_choice.py for the EP/TP/2DH equality pins.
 """
 
 from typing import NamedTuple, Optional

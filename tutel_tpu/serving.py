@@ -408,6 +408,14 @@ class MoeDecodeEngine:
         under fetch=False loses its final output — use it for chained
         steady-state chunks (device-time benchmarking, speculative
         scheduling) and fetch the last chunk normally.
+
+        CAVEAT (speculative_capacity > 0): fetch=False chunks cannot
+        replay on overflow (no host sync is allowed), so an overflowed
+        chunk's row-dropping state is committed silently. After any
+        fetch=False chunk, check `spec_overflow` (one device sync)
+        before trusting subsequent outputs — if True, the dropless
+        guarantee was lost for that run. fetch=True chunks are always
+        dropless (they replay).
         """
         if self.active == 0:
             return {}
@@ -848,7 +856,11 @@ class LmDecodeEngine:
         position state stay correct (decode continues from the true
         device-side state), but this chunk's generated tokens are NOT
         recorded in the host-side history — a device-time benchmarking
-        mode, not a serving mode."""
+        mode, not a serving mode. With speculative_capacity > 0 a
+        fetch=False chunk also cannot replay on overflow: check
+        `spec_overflow` after the run — if True, some chunk dropped
+        rows and the dropless guarantee was lost (fetch=True chunks
+        always replay and stay dropless)."""
         self._flush_admissions()
         # a request whose budget was consumed by the prefill's first
         # token retires without decoding
