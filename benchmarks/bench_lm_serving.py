@@ -33,6 +33,9 @@ def main():
     parser.add_argument("--gen_len", type=int, default=64)
     parser.add_argument("--chunk", type=int, default=16)
     parser.add_argument("--bits", type=int, default=4)
+    parser.add_argument("--kv_bits", type=int, default=0,
+                        help="8 = INT8 KV cache (halves the dominant "
+                             "decode HBM cost); 0 = model dtype")
     parser.add_argument("--device", type=str, default="")
     parser.add_argument("--attn", type=int, default=1,
                         help="0 disables bucketed attention windows "
@@ -62,7 +65,7 @@ def main():
         num_layers=args.num_layers, ffn_hidden=args.model_dim * 4,
         moe_every=2, num_local_experts=args.experts, top_k=2,
         capacity_factor=0.0, expert_hidden=args.expert_hidden,
-        dtype=dtype)
+        dtype=dtype, kv_bits=args.kv_bits)
     model = TransformerMoE(cfg, group=jax.devices()[:1])
 
     @jax.jit
@@ -163,7 +166,8 @@ def main():
         "unit": "tokens/s",
         "config": {"model_dim": args.model_dim,
                    "layers": args.num_layers, "experts": args.experts,
-                   "bits": args.bits, "batch": args.batch,
+                   "bits": args.bits, "kv_bits": args.kv_bits,
+                   "batch": args.batch,
                    "requests": args.requests,
                    "prompt_len": args.prompt_len,
                    "gen_len": args.gen_len, "chunk": args.chunk,

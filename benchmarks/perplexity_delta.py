@@ -102,6 +102,41 @@ def main():
         out[f"{tag}_nll"] = round(qa, 4)
         out[f"{tag}_delta"] = round(qa - nll, 4)
         out[f"{tag}_ppl_ratio"] = round(math.exp(qa - nll), 4)
+
+    # INT8 KV cache (round 4): the cache only exists on the DECODE
+    # path, so its delta is measured by teacher-forcing the held-out
+    # corpus through apply_decode (kv_bits=8 vs the full-precision
+    # cache) with the same trained fp32 weights.
+    def decode_nll(kv_bits):
+        import dataclasses
+        m = TransformerMoE(dataclasses.replace(make_cfg(),
+                                               kv_bits=kv_bits),
+                           group=jax.devices()[:1])
+
+        @jax.jit
+        def run(p, toks):
+            cache = m.init_cache(toks.shape[0])
+            n = toks.shape[0]
+
+            def body(c, i):
+                logits, c, _ = m.apply_decode(
+                    p, jnp.take(toks, i, axis=1), c,
+                    jnp.full((n,), i, jnp.int32))
+                lp = jax.nn.log_softmax(logits, axis=-1)
+                tgt = jnp.take(toks, i + 1, axis=1)
+                return c, -jnp.take_along_axis(
+                    lp, tgt[:, None], axis=-1).mean()
+            _, nls = jax.lax.scan(body, cache,
+                                  jnp.arange(toks.shape[1] - 1))
+            return nls.mean()
+        return float(run(params, held))
+
+    d0 = decode_nll(0)
+    d8 = decode_nll(8)
+    out["decode_fp_nll"] = round(d0, 4)
+    out["kv8_nll"] = round(d8, 4)
+    out["kv8_delta"] = round(d8 - d0, 4)
+    out["kv8_ppl_ratio"] = round(math.exp(d8 - d0), 4)
     print(json.dumps(out))
 
 

@@ -183,3 +183,60 @@ def test_apply_decode_kernel_equals_xla(monkeypatch):
     ref = chain("0")
     out = chain("1")
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# INT8 KV cache mode (round 4): int8 values + per-(head, pos) scales
+# ---------------------------------------------------------------------------
+
+def _quantize_cache(k):
+    """Per-(b, t, head) symmetric INT8 -> (int8 [B,T,nh,hd],
+    scales [B,nh,T] f32) matching TransformerMoE._kv_quantize."""
+    kf = np.asarray(k, np.float32)
+    s = np.maximum(np.abs(kf).max(axis=-1) / 127.0, 1e-10)  # [B,T,nh]
+    q = np.clip(np.round(kf / s[..., None]), -127, 127).astype(np.int8)
+    return jnp.asarray(q), jnp.asarray(s.transpose(0, 2, 1))
+
+
+def test_quantized_kernel_matches_dequantized_reference():
+    """decode_attn(int8 K/V + scales) == the XLA reference on the
+    explicitly dequantized float cache — the kernel's in-tile dequant
+    (score-tile multiply for K, softmax-weight multiply for V) must be
+    EXACTLY the algebraic dequant, not an approximation of it."""
+    q, k, v = _case(b=4, t=64, nh=4, hd=32)
+    pos = jnp.asarray([7, 16, 40, 63], jnp.int32)
+    kq, ks = _quantize_cache(k)
+    vq, vs = _quantize_cache(v)
+    # dequantized float cache = what the kernel must reproduce
+    kd = kq.astype(jnp.float32) * jnp.transpose(ks, (0, 2, 1))[..., None]
+    vd = vq.astype(jnp.float32) * jnp.transpose(vs, (0, 2, 1))[..., None]
+    ref = _ref_decode_attn(q, kd, vd, pos)
+    out = decode_attn(q, kq, vq, pos, k_scale=ks, v_scale=vs, wc=16,
+                      interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_quantized_kernel_unaligned_window_and_boundaries():
+    q, k, v = _case(b=6, t=96, nh=4, hd=32, seed=3)
+    pos = jnp.asarray([15, 16, 17, 31, 32, 75], jnp.int32)
+    kq, ks = _quantize_cache(k)
+    vq, vs = _quantize_cache(v)
+    kd = kq.astype(jnp.float32) * jnp.transpose(ks, (0, 2, 1))[..., None]
+    vd = vq.astype(jnp.float32) * jnp.transpose(vs, (0, 2, 1))[..., None]
+    ref = _ref_decode_attn(q, kd, vd, pos, attn_len=80)
+    out = decode_attn(q, kq, vq, pos, k_scale=ks, v_scale=vs,
+                      attn_len=80, wc=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pick_wc_accounts_for_scale_slabs():
+    base = vmem_bytes_decode_attn(2048, 1024, 1, wc=512, nh=8)
+    quant = vmem_bytes_decode_attn(2048, 1024, 1, wc=512, nh=8,
+                                   quantized=True)
+    assert quant > base
+    # int8 halves the slab bytes vs bf16, so the quantized kernel fits
+    # LARGER windows than the bf16 one at big model_dim
+    assert (pick_wc(2048, 4096, 1, nh=32, quantized=True)
+            >= pick_wc(2048, 4096, 2, nh=32))

@@ -266,6 +266,37 @@ def test_lm_perplexity_delta_trained():
             bits, nll_ref, delta_a8)
     assert deltas[8] <= deltas[4] + 0.05, deltas
 
+    # INT8 KV cache (round 4): decode-path teacher-forced nll with the
+    # quantized cache vs the full-precision cache, same trained
+    # weights. Measured +0.0003 nll on the harness
+    # (benchmarks/perplexity_delta.py kv8 row); budget 0.05 ppl ratio.
+    import dataclasses
+
+    def decode_nll(kv_bits):
+        m = TransformerMoE(dataclasses.replace(cfg, kv_bits=kv_bits),
+                           group=jax.devices()[:1])
+
+        @jax.jit
+        def run(p, toks):
+            cache = m.init_cache(toks.shape[0])
+            n = toks.shape[0]
+
+            def body(c, i):
+                logits, c, _ = m.apply_decode(
+                    p, jnp.take(toks, i, axis=1), c,
+                    jnp.full((n,), i, jnp.int32))
+                lp = jax.nn.log_softmax(logits, axis=-1)
+                tgt = jnp.take(toks, i + 1, axis=1)
+                return c, -jnp.take_along_axis(
+                    lp, tgt[:, None], axis=-1).mean()
+            _, nls = jax.lax.scan(body, cache,
+                                  jnp.arange(toks.shape[1] - 1))
+            return nls.mean()
+        return float(run(params, held))
+
+    kv_delta = decode_nll(8) - decode_nll(0)
+    assert math.exp(max(kv_delta, 0)) < 1.05, kv_delta
+
 
 @pytest.mark.parametrize("bits", [8, 4])
 def test_tp_sharded_quantized_weights(bits):

@@ -417,3 +417,29 @@ def test_seqpar_lm_compiles_for_4_hosts():
     spanning = [g for _, groups in a2as for g in groups
                 if len({proc_of[i] for i in g}) > 1]
     assert spanning, "no all-to-all spans hosts on the 4-host SP mesh"
+
+
+def test_decode_attn_int8_kv_mosaic_compiles():
+    """The INT8 KV-cache variant of the flash-decode kernel (int8
+    slabs + per-(head, pos) scale slabs, dequant folded into the
+    score/softmax tiles) lowers through Mosaic for v5e at the LM
+    serving size."""
+    from tutel_tpu.ops import decode_attn_pallas as dap
+    rep = _replicated(_topology("v5e:2x4"))
+    b, nh, hd, t = 64, 8, 128, 2048
+    d = nh * hd
+    wc = dap.pick_wc(t, d, 1, nh=nh, quantized=True)
+    assert wc is not None
+
+    def f(q, k, v, ks, vs, pos):
+        return dap.decode_attn(q, k, v, pos, k_scale=ks, v_scale=vs,
+                               attn_len=t, wc=wc)
+
+    txt = jax.jit(f).lower(
+        _spec((b, nh, hd), jnp.bfloat16, rep),
+        _spec((b, t, nh, hd), jnp.int8, rep),
+        _spec((b, t, nh, hd), jnp.int8, rep),
+        _spec((b, nh, t), jnp.float32, rep),
+        _spec((b, nh, t), jnp.float32, rep),
+        _spec((b,), jnp.int32, rep)).compile().as_text()
+    assert "tpu_custom_call" in txt, "Mosaic kernel was not emitted"

@@ -41,6 +41,10 @@ class TransformerMoEConfig:
     dtype: Any = jnp.float32
     expert_kwargs: Any = None          # extra expert-module fields
                                        # (e.g. activation_bits=8)
+    kv_bits: int = 0                   # 8 = INT8 KV cache (serving:
+                                       # halves the dominant HBM cost
+                                       # of decode, per-(pos, head)
+                                       # symmetric scales); 0 = dtype
 
 
 class TransformerMoE:
@@ -353,14 +357,36 @@ class TransformerMoE:
     # ------------------------------------------------------------------
 
     def init_cache(self, batch: int):
-        """Per-block KV cache for incremental decode: [B, max_len, nh, hd]."""
+        """Per-block KV cache for incremental decode: [B, max_len, nh, hd].
+
+        kv_bits=8 stores int8 values + per-(head, position) f32 scales
+        ("k_s"/"v_s" [B, nh, max_len]) — the KV read is the measured
+        dominant HBM cost of LM decode (docs/RESULTS.md), so halving
+        its bytes is the serving-side lever the quantized experts
+        already pulled for weights."""
         cfg = self.cfg
         nh, hd = cfg.num_heads, cfg.model_dim // cfg.num_heads
+        if cfg.kv_bits == 8:
+            z = lambda: jnp.zeros((batch, cfg.max_len, nh, hd), jnp.int8)
+            s = lambda: jnp.ones((batch, nh, cfg.max_len), jnp.float32)
+            return [{"k": z(), "v": z(), "k_s": s(), "v_s": s()}
+                    for _ in range(cfg.num_layers)]
+        assert cfg.kv_bits == 0, f"kv_bits={cfg.kv_bits} (0 or 8)"
         z = lambda: jnp.zeros((batch, cfg.max_len, nh, hd), cfg.dtype)
         return [{"k": z(), "v": z()} for _ in range(cfg.num_layers)]
 
-    def _attn_step(self, block, x, ck, cv, pos, attn_len=None):
-        """One-token attention: x [B, d], cache [B, T, nh, hd], pos [B].
+    @staticmethod
+    def _kv_quantize(x):
+        """Per-(row, head) symmetric INT8: x [B, nh, hd] ->
+        (int8 values, f32 scales [B, nh])."""
+        xf = x.astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / 127.0, 1e-10)
+        q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127)
+        return q.astype(jnp.int8), s
+
+    def _attn_step(self, block, x, layer_cache, pos, attn_len=None):
+        """One-token attention: x [B, d], layer_cache {"k","v"[,scales]}
+        ([B, T, nh, hd] values), pos [B]. Returns (out, new layer_cache).
 
         attn_len (static) bounds the cache READ to the first attn_len
         positions — EXACT whenever every row's pos < attn_len, because
@@ -370,17 +396,31 @@ class TransformerMoE:
         (2.1 GB/step at B=256, T=256, 4 layers — the measured dominant
         HBM cost of LM decode), so a serving engine that knows the max
         live position can cut attention reads to O(actual length); see
-        LmDecodeEngine's attn_bucket."""
+        LmDecodeEngine's attn_bucket. kv_bits=8 halves those bytes
+        again: K/V store int8 with per-(head, position) scales."""
         cfg = self.cfg
         b, d = x.shape
         nh, hd = cfg.num_heads, d // cfg.num_heads
+        kv_q = cfg.kv_bits == 8
         qkv = jnp.einsum("bd,de->be", x, block["wqkv"],
                          preferred_element_type=jnp.float32).astype(x.dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, nh, hd)
+        k = k.reshape(b, nh, hd)
+        v = v.reshape(b, nh, hd)
         rows = jnp.arange(b)
-        ck = ck.at[rows, pos].set(k.reshape(b, nh, hd))
-        cv = cv.at[rows, pos].set(v.reshape(b, nh, hd))
+        cache = dict(layer_cache)
+        if kv_q:
+            kq, ks = self._kv_quantize(k)
+            vq, vs = self._kv_quantize(v)
+            cache["k"] = cache["k"].at[rows, pos].set(kq)
+            cache["v"] = cache["v"].at[rows, pos].set(vq)
+            cache["k_s"] = cache["k_s"].at[rows, :, pos].set(ks)
+            cache["v_s"] = cache["v_s"].at[rows, :, pos].set(vs)
+        else:
+            cache["k"] = cache["k"].at[rows, pos].set(k)
+            cache["v"] = cache["v"].at[rows, pos].set(v)
+        ck, cv = cache["k"], cache["v"]
         t = cfg.max_len if attn_len is None else min(int(attn_len),
                                                      cfg.max_len)
         kern = self._attn_kernel_mode(d)
@@ -392,8 +432,8 @@ class TransformerMoE:
             # fall back to the XLA windowed path when even the minimum
             # slab cannot fit — mirroring the fused-FFN ladder.
             from ..ops.decode_attn_pallas import pick_wc
-            wc = pick_wc(cfg.max_len, d, jnp.dtype(x.dtype).itemsize,
-                         nh=nh)
+            itemsize = 1 if kv_q else jnp.dtype(x.dtype).itemsize
+            wc = pick_wc(cfg.max_len, d, itemsize, nh=nh, quantized=kv_q)
             if wc is None:
                 import os
                 if os.environ.get("TUTEL_TPU_DECODE_ATTN", "") == "1":
@@ -407,11 +447,21 @@ class TransformerMoE:
             # window through VMEM once (XLA's slice+matvec lowering
             # measured 1.3-2.5x slower on v5e; ops/decode_attn_pallas)
             from ..ops.decode_attn_pallas import decode_attn
-            out = decode_attn(q, ck, cv, pos, attn_len=t, wc=wc,
-                              interpret=(kern == "interpret"))
+            out = decode_attn(
+                q, ck, cv, pos, attn_len=t, wc=wc,
+                k_scale=cache["k_s"] if kv_q else None,
+                v_scale=cache["v_s"] if kv_q else None,
+                interpret=(kern == "interpret"))
         else:
             rk = ck[:, :t] if t < cfg.max_len else ck
             rv = cv[:, :t] if t < cfg.max_len else cv
+            if kv_q:
+                # dequantize the read window (test/CPU path; the kernel
+                # path folds the scales into its score/softmax tiles)
+                ks = cache["k_s"][:, :, :t].transpose(0, 2, 1)
+                vs = cache["v_s"][:, :, :t].transpose(0, 2, 1)
+                rk = rk.astype(jnp.float32) * ks[..., None]
+                rv = rv.astype(jnp.float32) * vs[..., None]
             scores = jnp.einsum("bhd,bthd->bht", q, rk,
                                 preferred_element_type=jnp.float32)
             scores = scores * (hd ** -0.5)
@@ -424,7 +474,7 @@ class TransformerMoE:
         out = out.reshape(b, d)
         return jnp.einsum("bd,de->be", out, block["wo"],
                           preferred_element_type=jnp.float32).astype(
-            x.dtype), ck, cv
+            x.dtype), cache
 
     def _attn_kernel_mode(self, d):
         """'' = XLA path, 'native' = Pallas flash-decode kernel,
@@ -491,10 +541,10 @@ class TransformerMoE:
         needed_max = jnp.int32(0)
         new_cache = []
         for i, block in enumerate(params["blocks"]):
-            a, ck, cv = self._attn_step(
+            a, lc = self._attn_step(
                 block, self._ln(block["ln1"], x),
-                cache[i]["k"], cache[i]["v"], pos, attn_len=attn_len)
-            new_cache.append({"k": ck, "v": cv})
+                cache[i], pos, attn_len=attn_len)
+            new_cache.append(lc)
             x = x + a
             h = self._ln(block["ln2"], x)
             if i in self.moe_layers:

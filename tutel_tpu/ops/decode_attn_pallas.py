@@ -40,9 +40,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _decode_attn_kernel(pos_ref, qbd_ref, k_ref, v_ref, o_ref,
-                        acc_ref, m_ref, z_ref, *, wc, n_chunks, nh, hd,
-                        scale, out_dtype):
+def _decode_attn_kernel(pos_ref, qbd_ref, k_ref, v_ref, *rest, wc,
+                        n_chunks, nh, hd, scale, out_dtype, quantized):
+    if quantized:
+        ks_ref, vs_ref, o_ref, acc_ref, m_ref, z_ref = rest
+    else:
+        o_ref, acc_ref, m_ref, z_ref = rest
     b = pl.program_id(0)
     j = pl.program_id(1)
     p = pos_ref[b]
@@ -57,10 +60,22 @@ def _decode_attn_kernel(pos_ref, qbd_ref, k_ref, v_ref, o_ref,
     t_iota = jax.lax.broadcasted_iota(jnp.int32, (nh, wc), 1) + j * wc
     live = t_iota <= p
 
+    # INT8 KV dequant rides the block-diagonal structure for free:
+    # score row h only touches head h's columns, so the per-(pos, head)
+    # K scale factors out of the dot as an elementwise [nh, wc] multiply
+    # on the score tile; likewise the V scale folds into the softmax
+    # weights e BEFORE the combine dot (columns of other heads get the
+    # wrong scale, but the final block-diagonal select discards them).
+    # The int8 slab is cast in VMEM (int8 is exact in bf16 up to 127).
+    compute_t = qbd_ref.dtype if quantized else k_ref.dtype
+    kslab = k_ref[0].astype(compute_t) if quantized else k_ref[0]
+
     # scores [nh, wc] = block-diag(q) . K-slab^T, f32 on the MXU
     s = jax.lax.dot_general(
-        qbd_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        qbd_ref[0], kslab, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
+    if quantized:
+        s = s * ks_ref[0]                                 # [nh, wc]
     s = jnp.where(live, s, -1e30)
 
     # online softmax: rescale the running accumulator by exp(m_old-m_new)
@@ -72,8 +87,10 @@ def _decode_attn_kernel(pos_ref, qbd_ref, k_ref, v_ref, o_ref,
     m_ref[...] = m_new
     z_ref[...] = z_ref[...] * corr + jnp.sum(e, axis=1, keepdims=True)
     # combine: dot(p, V-slab) -> [nh, D]; rescale old acc first
+    ev = e * vs_ref[0] if quantized else e
+    vslab = v_ref[0].astype(compute_t) if quantized else v_ref[0]
     d = jax.lax.dot_general(
-        e.astype(k_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        ev.astype(compute_t), vslab, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)               # [nh, D]
     acc_ref[...] = acc_ref[...] * corr + d
 
@@ -90,7 +107,8 @@ def _decode_attn_kernel(pos_ref, qbd_ref, k_ref, v_ref, o_ref,
         o_ref[0] = o.astype(out_dtype)
 
 
-def decode_attn(q, k, v, pos, *, attn_len=None, wc=512, interpret=False):
+def decode_attn(q, k, v, pos, *, k_scale=None, v_scale=None,
+                attn_len=None, wc=512, interpret=False):
     """One-token attention over the first `attn_len` cache positions.
 
     out[b, nh] = softmax_t(q[b, nh] . k[b, t, nh] / sqrt(hd)
@@ -98,7 +116,12 @@ def decode_attn(q, k, v, pos, *, attn_len=None, wc=512, interpret=False):
 
     Args:
       q: [B, NH, HD].
-      k, v: [B, T, NH, HD] KV cache.
+      k, v: [B, T, NH, HD] KV cache — float, or int8 when k_scale /
+        v_scale are given (the INT8 KV-cache serving mode: wire/HBM
+        bytes halve; dequant is an elementwise multiply on the score /
+        softmax tiles, see the kernel comment).
+      k_scale, v_scale: [B, NH, T] f32 per-(head, position) symmetric
+        scales for int8 k/v, or None for a float cache.
       pos: [B] int32; positions t > pos[b] are masked out.
       attn_len: static read bound (None = T). Exact whenever every
         row's pos < attn_len. Rounded up to a multiple of 16.
@@ -109,6 +132,11 @@ def decode_attn(q, k, v, pos, *, attn_len=None, wc=512, interpret=False):
     bsz, nh, hd = q.shape
     _, t, nh2, hd2 = k.shape
     assert (nh, hd) == (nh2, hd2), (q.shape, k.shape)
+    quantized = k_scale is not None
+    if quantized:
+        assert v_scale is not None and k.dtype == jnp.int8, (
+            k.dtype, v_scale)
+        assert k_scale.shape == (bsz, nh, t), (k_scale.shape, k.shape)
     d = nh * hd
     w = t if attn_len is None else min(int(attn_len), t)
     w = -(-w // 16) * 16
@@ -136,17 +164,25 @@ def decode_attn(q, k, v, pos, *, attn_len=None, wc=512, interpret=False):
 
     kernel = functools.partial(
         _decode_attn_kernel, wc=wc, n_chunks=n_chunks, nh=nh, hd=hd,
-        scale=scale, out_dtype=q.dtype)
+        scale=scale, out_dtype=q.dtype, quantized=quantized)
+    in_specs = [
+        pl.BlockSpec((1, nh, d), lambda b, j, pos: (b, 0, 0)),
+        pl.BlockSpec((1, wc, d), lambda b, j, pos: (b, j, 0)),
+        pl.BlockSpec((1, wc, d), lambda b, j, pos: (b, j, 0)),
+    ]
+    args = [pos.astype(jnp.int32), qbd, kf, vf]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, nh, wc), lambda b, j, pos: (b, 0, j)),
+            pl.BlockSpec((1, nh, wc), lambda b, j, pos: (b, 0, j)),
+        ]
+        args += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(bsz, n_chunks),
-            in_specs=[
-                pl.BlockSpec((1, nh, d), lambda b, j, pos: (b, 0, 0)),
-                pl.BlockSpec((1, wc, d), lambda b, j, pos: (b, j, 0)),
-                pl.BlockSpec((1, wc, d), lambda b, j, pos: (b, j, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, 1, d), lambda b, j, pos: (b, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((nh, d), jnp.float32),
@@ -162,18 +198,23 @@ def decode_attn(q, k, v, pos, *, attn_len=None, wc=512, interpret=False):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(pos.astype(jnp.int32), qbd, kf, vf)
+    )(*args)
     return out.reshape(bsz, nh, hd)
 
 
-def vmem_bytes_decode_attn(t, d, itemsize, wc=512, nh=1):
+def vmem_bytes_decode_attn(t, d, itemsize, wc=512, nh=1,
+                           quantized=False):
     """VMEM footprint estimate: double-buffered K+V slabs (the dominant
     term) + the f32 accumulator scratch [nh, d] + the qbd input block
-    and output block."""
+    and output block. `quantized` adds the f32 scale slabs of the INT8
+    KV mode (itemsize should then be 1)."""
     wc = min(wc, t)
     slabs = 2 * 2 * wc * d * itemsize          # K + V, double-buffered
+    if quantized:
+        slabs += 2 * 2 * wc * nh * 4           # k/v scale slabs (f32)
     scratch = nh * d * 4 + 2 * nh * 4          # acc + m + z (f32)
-    io = 2 * nh * d * itemsize + d * itemsize  # qbd (dbl-buf) + out
+    qio = 2 if quantized else itemsize         # qbd stays in q.dtype
+    io = 2 * nh * d * qio + d * qio            # qbd (dbl-buf) + out
     return slabs + scratch + io
 
 
@@ -183,13 +224,15 @@ def vmem_bytes_decode_attn(t, d, itemsize, wc=512, nh=1):
 VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
 
-def pick_wc(t, d, itemsize, nh=1, budget=VMEM_BUDGET_BYTES):
+def pick_wc(t, d, itemsize, nh=1, budget=VMEM_BUDGET_BYTES,
+            quantized=False):
     """Largest window chunk whose kernel fits the VMEM budget, or None
     when even the minimum chunk (16) does not fit — the caller must
     then take the XLA windowed-attention path. Mirrors the fused-FFN
     ladder pattern: shrink the streamed slab under VMEM pressure
     instead of failing to compile at large model_dim."""
     for wc in (512, 256, 128, 64, 32, 16):
-        if vmem_bytes_decode_attn(t, d, itemsize, wc=wc, nh=nh) <= budget:
+        if vmem_bytes_decode_attn(t, d, itemsize, wc=wc, nh=nh,
+                                  quantized=quantized) <= budget:
             return wc
     return None

@@ -728,10 +728,11 @@ class LmDecodeEngine:
             first_tok, gc = self._prefill_fn(tp, n)(
                 self.params, prompts, self.model.init_cache(n), sk)
             for i, layer_cache in enumerate(gc):
+                # generic over the cache layout (bf16 {"k","v"} or the
+                # INT8 {"k","v","k_s","v_s"} form — dim 0 is always B)
                 self.cache[i] = {
-                    "k": self.cache[i]["k"].at[slots].set(layer_cache["k"]),
-                    "v": self.cache[i]["v"].at[slots].set(layer_cache["v"]),
-                }
+                    kk: self.cache[i][kk].at[slots].set(layer_cache[kk])
+                    for kk in self.cache[i]}
             self._tok = self._tok.at[slots].set(first_tok)
             self._pos = self._pos.at[slots].set(jnp.int32(tp))
             for slot, _ in group:
@@ -803,9 +804,16 @@ class LmDecodeEngine:
             # KV cache IN PLACE across the dispatch boundary — without
             # donation every chunk copies the full [B, max_len] cache
             # (measured ~14 ms/chunk at B=64, T=2048, 4 layers). The
-            # speculative path must NOT donate: replay-on-overflow
-            # re-runs the chunk from the same pre-chunk cache.
-            donate = () if with_probe else (1, 2, 3)
+            # SPECULATIVE path donates the cache too (round 4): a
+            # replay-on-overflow does not need the pre-chunk cache,
+            # because the chunk only WRITES positions >= each row's
+            # pos, and every such cell is masked (never read) until
+            # the step that writes it — so a replay from the post-chunk
+            # cache reads only cells that are either committed (< pos)
+            # or rewritten by the replay itself before being read.
+            # Only tok/pos must stay undonated there (the replay
+            # restarts from the pre-chunk tokens/positions).
+            donate = (1,) if with_probe else (1, 2, 3)
             fn = jax.jit(fn, donate_argnums=donate)
             cache[ck] = fn
         return fn
@@ -878,15 +886,21 @@ class LmDecodeEngine:
         attn_len = self._attn_len(n_steps)
         if self.speculative_capacity > 0:
             # run at the speculated capacity; replay this chunk from
-            # its (immutable) pre-chunk state at the observed capacity
-            # if any step's routing overflowed the speculation
-            pre_kv, pre_tok, pre_pos = self.cache, self._tok, self._pos
+            # the pre-chunk tok/pos at the observed capacity if any
+            # step's routing overflowed the speculation. The KV cache
+            # is DONATED even here: the replay reads only cells it
+            # rewrites first or that the chunk never touched (see
+            # _decode_fn's donation note), so it restarts from the
+            # post-chunk cache buffer, not a preserved copy.
+            pre_tok, pre_pos = self._tok, self._pos
             key, cap = self._key, self._lm_spec_cap()
+            kv_in = self.cache
             while True:
                 kv, tok, pos, toks, nkey, mx, over = self._decode_fn(
                     n_steps, cap=cap, with_probe=True,
                     attn_len=attn_len)(
-                    self.params, pre_kv, pre_tok, pre_pos, key)
+                    self.params, kv_in, pre_tok, pre_pos, key)
+                kv_in = kv
                 if cap >= self.max_batch:
                     break                  # lossless by construction
                 if not fetch:
