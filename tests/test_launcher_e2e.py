@@ -70,3 +70,75 @@ def test_two_process_launch_identical_losses():
     assert losses[0] == losses[1], losses
     # world really was 2 processes x 2 devices
     assert "world=4 devices, 2 processes" in outs[0], outs[0]
+
+
+def test_two_process_2dh_crosses_real_process_boundary():
+    """2 processes x 4 devices with use_2dh=True: the hierarchical
+    all-to-all's DCN leg exchanges across a REAL OS-process boundary
+    (the strongest multi-host realism available without pod hardware
+    — reference custom_kernel.cpp:656-738 runs its inter-node phase
+    over exactly this split). Losses must be identical on both ranks
+    AND equal to the same model run flat in one process, pinning that
+    the hierarchical exchange over the process boundary changes
+    nothing numerically."""
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env.pop("PYTEST_CURRENT_TEST", None)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "OMPI_COMM_WORLD_SIZE": "2",
+            "OMPI_COMM_WORLD_RANK": str(rank),
+            "MASTER_ADDR": "127.0.0.1",
+            "MASTER_PORT": str(port),
+            "PYTHONPATH": REPO,
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "tutel_tpu.launcher.run",
+             "-m", "tutel_tpu.examples.helloworld_multiprocess",
+             "--num_steps", "3", "--use_2dh"],
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+
+    losses = []
+    for out in outs:
+        got = re.findall(r"STEP-\d+: loss = ([0-9.eE+-]+)", out)
+        assert len(got) == 3, out
+        losses.append([float(v) for v in got])
+    assert losses[0] == losses[1], losses
+    assert "world=8 devices, 2 processes" in outs[0], outs[0]
+
+    # flat single-process reference of the same global model: the 2DH
+    # losses over a real process boundary must match it step for step
+    env = dict(os.environ)
+    env.pop("PYTEST_CURRENT_TEST", None)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        "PYTHONPATH": REPO,
+    })
+    ref = subprocess.run(
+        [sys.executable, "-m",
+         "tutel_tpu.examples.helloworld_multiprocess",
+         "--num_steps", "3"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=300)
+    assert ref.returncode == 0, ref.stdout + ref.stderr
+    ref_losses = [float(v) for v in re.findall(
+        r"STEP-\d+: loss = ([0-9.eE+-]+)", ref.stdout)]
+    assert len(ref_losses) == 3
+    for a, b in zip(losses[0], ref_losses):
+        assert abs(a - b) < 5e-4, (losses[0], ref_losses)

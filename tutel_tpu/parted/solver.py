@@ -98,98 +98,121 @@ def _op_cost(op: Node, out_state: int, world: int):
     return flops / world
 
 
+def evaluate_assignment(graph: Graph, world: int, fixed: Dict[str, int]
+                        ) -> Tuple[float, Config]:
+    """Price one (possibly partial) assignment under the cost model.
+
+    Fixed nodes keep their given state; unfixed op nodes are assigned
+    greedily in topological order (cheapest compute + input-reshard at
+    that point) and unfixed single-consumer leaves are produced
+    directly in the state their consumer needs (locally optimal under
+    this model: storing a leaf in its consumer's state dominates every
+    alternative, see the residency note below). With ALL op nodes
+    fixed, the result is the exact model cost of that plan — which is
+    what makes brute-force optimality checks possible
+    (tests/test_parted.py::test_solver_matches_bruteforce_small)."""
+    ops = [n for n in graph.nodes if n.op_type == "op"]
+    state: Dict[str, int] = dict(fixed)
+    # Parameter residency: every step streams the local copy of each
+    # param from HBM (grads/optimizer touch all of it), so a
+    # replicated param costs W times the HBM traffic of a sharded
+    # one — what makes TP/ZeRO states win for giant weights while
+    # plain replication wins for small ones. Data (activation) leaves
+    # get the same treatment: a replicated activation is read in full
+    # by every device. Fixed leaves are priced here; free leaves at
+    # the moment the greedy assigns them.
+    def residency(node, s):
+        frac = 1.0 if s == REPLICATED else 1.0 / world
+        return _HBM_BYTE_COST * node.size * _ITEMSIZE * frac
+
+    cost = 0.0
+    for n in graph.nodes:
+        if n.op_type in ("param", "data") and n.name in state:
+            cost += residency(n, state[n.name])
+    for op in ops:
+        out_state = state.get(op.name)
+        candidates = ([out_state] if out_state is not None
+                      else _node_states(op, world))
+        best = None
+        for os_ in candidates:
+            # realizations: local-per-shard compute; plus, for a
+            # reduce-einsum producing a replicated output, the
+            # split-reduce + all-reduce form (the FAR primitive)
+            realizations = [(_op_cost(op, os_, world), os_, None)]
+            if os_ == REPLICATED and op.parser is not None \
+                    and op.parser.reduce_axes:
+                far = op.flops() / world \
+                    + _BYTE_COST * 2 * op.size * _ITEMSIZE \
+                    * (world - 1) / world
+                realizations.append((far, os_, op.parser.reduce_axes[0]))
+            for base, os2, reduce_letter in realizations:
+                total = base
+                assigns = {}
+                for idx, inp in enumerate(op.inputs):
+                    if reduce_letter is not None:
+                        dims_in = op.parser.in_dims[idx]
+                        need = (dims_in.index(reduce_letter)
+                                if reduce_letter in dims_in
+                                else REPLICATED)
+                    else:
+                        need = _required_input_state(op, os2, idx)
+                    have = state.get(inp.name)
+                    if have is None:
+                        # free leaf: produce it directly in `need`
+                        assigns[inp.name] = need
+                        if inp.op_type in ("param", "data"):
+                            total += residency(inp, need)
+                    else:
+                        total += _BYTE_COST * _reshard_cost(
+                            inp, have, need, world)
+                if best is None or total < best[0]:
+                    best = (total, os2, assigns)
+        cost += best[0]
+        state.setdefault(op.name, best[1])
+        for k, v in best[2].items():
+            state.setdefault(k, v)
+    return cost, Config({n.name: state.get(n.name, REPLICATED)
+                         for n in graph.nodes})
+
+
 def solve_partition(graph: Graph, world: int,
                     max_enumeration: int = 4096
                     ) -> List[Tuple[float, Config]]:
-    """Rank sharding plans for the graph. Returns [(cost, Config)]."""
+    """Rank sharding plans for the graph. Returns [(cost, Config)].
+
+    Search strategy, by graph size: enumerate the states of EVERY op
+    node when the combination count fits `max_enumeration` (exact
+    under the cost model — single-consumer leaves are locally optimal,
+    see `evaluate_assignment`); otherwise enumerate only the
+    multi-consumer/output nodes with a greedy topological fill (the
+    round-3 behavior — can be suboptimal on the unenumerated tail);
+    beyond that, outputs only."""
     if world <= 1:
         return [(0.0, Config.default(graph))]
 
-    ops = [n for n in graph.nodes if n.op_type == "op"]
     multi = [n for n in graph.nodes
              if len(n.consumers) > 1 or n in graph.outputs]
+    ops = [n for n in graph.nodes if n.op_type == "op"]
+    every_op = list(dict.fromkeys(multi + ops))   # stable order, dedup
 
-    def plan_cost(fixed: Dict[str, int]):
-        """Greedy-DP over topological order given the states of the
-        enumerated nodes; single-consumer leaves take whatever state
-        their consumer wants (sharding a host input is free)."""
-        state: Dict[str, int] = dict(fixed)
-        # Parameter residency: every step streams the local copy of each
-        # param from HBM (grads/optimizer touch all of it), so a
-        # replicated param costs W times the HBM traffic of a sharded
-        # one — what makes TP/ZeRO states win for giant weights while
-        # plain replication wins for small ones. Data (activation) leaves
-        # get the same treatment: a replicated activation is read in full
-        # by every device. Fixed leaves are priced here; free leaves at
-        # the moment the greedy assigns them.
-        def residency(node, s):
-            frac = 1.0 if s == REPLICATED else 1.0 / world
-            return _HBM_BYTE_COST * node.size * _ITEMSIZE * frac
+    def combos(nodes):
+        c = 1
+        for n in nodes:
+            c *= len(_node_states(n, world))
+        return c
 
-        cost = 0.0
-        for n in graph.nodes:
-            if n.op_type in ("param", "data") and n.name in state:
-                cost += residency(n, state[n.name])
-        for op in ops:
-            out_state = state.get(op.name)
-            candidates = ([out_state] if out_state is not None
-                          else _node_states(op, world))
-            best = None
-            for os_ in candidates:
-                # realizations: local-per-shard compute; plus, for a
-                # reduce-einsum producing a replicated output, the
-                # split-reduce + all-reduce form (the FAR primitive)
-                realizations = [(_op_cost(op, os_, world), os_, None)]
-                if os_ == REPLICATED and op.parser is not None \
-                        and op.parser.reduce_axes:
-                    far = op.flops() / world \
-                        + _BYTE_COST * 2 * op.size * _ITEMSIZE \
-                        * (world - 1) / world
-                    realizations.append((far, os_, op.parser.reduce_axes[0]))
-                for base, os2, reduce_letter in realizations:
-                    total = base
-                    assigns = {}
-                    for idx, inp in enumerate(op.inputs):
-                        if reduce_letter is not None:
-                            dims_in = op.parser.in_dims[idx]
-                            need = (dims_in.index(reduce_letter)
-                                    if reduce_letter in dims_in
-                                    else REPLICATED)
-                        else:
-                            need = _required_input_state(op, os2, idx)
-                        have = state.get(inp.name)
-                        if have is None:
-                            # free leaf: produce it directly in `need`
-                            assigns[inp.name] = need
-                            if inp.op_type in ("param", "data"):
-                                total += residency(inp, need)
-                        else:
-                            total += _BYTE_COST * _reshard_cost(
-                                inp, have, need, world)
-                    if best is None or total < best[0]:
-                        best = (total, os2, assigns)
-            cost += best[0]
-            state.setdefault(op.name, best[1])
-            for k, v in best[2].items():
-                state.setdefault(k, v)
-        return cost, Config({n.name: state.get(n.name, REPLICATED)
-                             for n in graph.nodes})
-
-    choices = [(n, _node_states(n, world)) for n in multi]
-    combos = 1
-    for _, s in choices:
-        combos *= len(s)
-    results = []
-    if combos <= max_enumeration:
-        for assignment in itertools.product(*[s for _, s in choices]):
-            fixed = {n.name: st for (n, _), st in zip(choices, assignment)}
-            results.append(plan_cost(fixed))
+    if combos(every_op) <= max_enumeration:
+        choices = [(n, _node_states(n, world)) for n in every_op]
+    elif combos(multi) <= max_enumeration:
+        choices = [(n, _node_states(n, world)) for n in multi]
     else:
         # fall back: enumerate outputs only
-        outs = [(n, _node_states(n, world)) for n in graph.outputs]
-        for assignment in itertools.product(*[s for _, s in outs]):
-            fixed = {n.name: st for (n, _), st in zip(outs, assignment)}
-            results.append(plan_cost(fixed))
+        choices = [(n, _node_states(n, world)) for n in graph.outputs]
+
+    results = []
+    for assignment in itertools.product(*[s for _, s in choices]):
+        fixed = {n.name: st for (n, _), st in zip(choices, assignment)}
+        results.append(evaluate_assignment(graph, world, fixed))
     # dedupe identical configs, keep cheapest
     seen = {}
     for cost, cfg in results:
