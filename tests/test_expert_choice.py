@@ -447,3 +447,58 @@ def test_ec_fuzz_vs_numpy_oracle():
         np.testing.assert_allclose(np.asarray(out), want, atol=1e-5,
                                    err_msg=f"trial {trial} s={s} e={e} "
                                            f"cap={cap}")
+
+
+def test_combine_rows_onehot_equals_scatter():
+    """The MXU one-hot combine (round 4, the EC-combine-gap fix) must
+    equal the scatter-add oracle exactly in f32, including dropped
+    sentinel rows and duplicate targets."""
+    from tutel_tpu.ops.expert_choice import combine_rows
+    rng = np.random.RandomState(0)
+    rows = jnp.asarray(rng.randn(24, 16).astype(np.float32))
+    # duplicates, gaps, and the out-of-range sentinel (=10)
+    ids = jnp.asarray(rng.randint(0, 11, size=24).astype(np.int32))
+    scat = combine_rows(rows, ids, 10, native=False)
+    onehot = combine_rows(rows, ids, 10, native=True)
+    np.testing.assert_allclose(np.asarray(onehot), np.asarray(scat),
+                               rtol=1e-6, atol=1e-6)
+    # memory guard: oversized selection matrices fall back to scatter
+    import tutel_tpu.ops.expert_choice as ec_mod
+    old = ec_mod._ONEHOT_MAX_ELEMS
+    try:
+        ec_mod._ONEHOT_MAX_ELEMS = 4
+        guarded = combine_rows(rows, ids, 10, native=True)
+    finally:
+        ec_mod._ONEHOT_MAX_ELEMS = old
+    np.testing.assert_allclose(np.asarray(guarded), np.asarray(scat))
+
+
+def test_ec_layer_onehot_combine_matches_scatter_end_to_end(monkeypatch):
+    """Force the one-hot combine through the full EC MoE layer (single
+    device and 8-device EP) and pin equality with the scatter path."""
+    import tutel_tpu.ops.expert_choice as ec_mod
+
+    def outputs(native):
+        if native is not None:
+            monkeypatch.setattr(
+                jax, "default_backend", lambda: "tpu" if native else "cpu")
+        layer = moe.moe_layer(
+            gate_type={"type": "expert_choice", "capacity_factor": 2.0,
+                       "gate_noise": 0.0},
+            experts={"type": "ffn", "num_experts_per_device": 1,
+                     "hidden_size_per_expert": 32},
+            model_dim=16, seeds=(1, 1, 1), group=jax.devices()[:8])
+        params = layer.shard_params(layer.init(jax.random.PRNGKey(0)))
+        x = jax.random.normal(jax.random.PRNGKey(1), (64, 16))
+        y, _ = layer(params, x)
+        return np.asarray(y)
+
+    ref = outputs(None)
+    # monkeypatch the native flag the layer threads to combine_rows
+    orig = ec_mod.combine_rows
+
+    def force_onehot(rows, ids, n, native=None):
+        return orig(rows, ids, n, native=True)
+    monkeypatch.setattr(ec_mod, "combine_rows", force_onehot)
+    forced = outputs(None)
+    np.testing.assert_allclose(forced, ref, rtol=1e-5, atol=1e-5)

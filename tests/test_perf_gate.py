@@ -130,3 +130,15 @@ def test_fused_stream_bandwidth_at_256_tokens(tpu):
     assert gbps >= 575.0, (
         f"fused-stream bandwidth regressed: {gbps:.0f} GB/s < 575 "
         f"(round-2 measured 638 GB/s of a 733 GB/s ceiling)")
+
+
+def test_ec_decode_1024_tokens(tpu):
+    """Expert-choice INT4 decode at 1024 tokens with the round-4
+    one-hot MXU combine. Measured 1.148M tokens/s (0.89 ms — 7% faster
+    than token-choice on the same chip); pin at -10%."""
+    rec = _run_json(["benchmarks/bench_dropless_decode.py",
+                     "--tokens", "1024", "--iters", "100",
+                     "--gate", "expert_choice"])
+    assert rec["value"] >= 1.03e6, (
+        f"EC decode @1024 regressed: {rec['value']:.0f} tokens/s "
+        f"< 1.03M (round-4 measured 1.148M)")

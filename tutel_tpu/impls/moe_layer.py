@@ -996,8 +996,9 @@ class MOELayer:
                         scores, cfg.capacity, token_mask)
                     y = ec_ops.ec_encode(x_local, ec, self.is_postscore)
                     y = self._apply_experts(expert_params, y, ctx)
-                    out = ec_ops.ec_decode(y, ec, x_local.shape[0],
-                                           self.is_postscore)
+                    out = ec_ops.ec_decode(
+                        y, ec, x_local.shape[0], self.is_postscore,
+                        native=self.devices[0].platform == "tpu")
                     return out, ec_ops.router_z_loss(logits, token_mask)
 
                 # EP (x TP): the EC top-C must see every token's SCORE,
@@ -1048,7 +1049,8 @@ class MOELayer:
                         self.is_postscore)
                     y = self._apply_experts(eff, y, ctx)
                     out = ec_ops.ec_decode(y, loc, s_loc,
-                                           self.is_postscore)
+                                           self.is_postscore,
+                                           native=native)
                     zsum, zcnt = ec_ops.router_z_loss_parts(logits,
                                                             token_mask)
                     return out, (lax.psum(zsum, ep_axes)
