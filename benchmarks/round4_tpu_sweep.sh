@@ -1,0 +1,45 @@
+#!/bin/bash
+# Round-4 on-TPU measurement sweep.
+# New vs round 3: expert-choice rows re-measured with the one-hot MXU
+# combine, the full-model LM training MFU row, LM serving with and
+# without the INT8 KV cache, and the unpack-bound decomposition
+# variants. Writes one JSON line per run to
+# benchmarks/round4_tpu_results.jsonl.
+set -u
+cd "$(dirname "$0")/.."
+OUT=benchmarks/round4_tpu_results.jsonl
+: > "$OUT"
+
+note() { echo "[sweep] $*" >&2; }
+run() {
+  local tag="$1"; shift
+  note "$tag: $*"
+  local line
+  if line=$(timeout 1800 "$@" 2>/dev/null | grep '^{' | tail -1); then
+    echo "{\"tag\": \"$tag\", \"result\": $line}" >> "$OUT"
+    note "$tag OK: $line"
+  else
+    echo "{\"tag\": \"$tag\", \"result\": null}" >> "$OUT"
+    note "$tag FAILED (rc=$?)"
+  fi
+}
+
+run helloworld   python bench.py
+run lm_train     python benchmarks/bench_lm_train.py
+run int4_256     python benchmarks/bench_dropless_decode.py --tokens 256
+run int4_1024    python benchmarks/bench_dropless_decode.py --tokens 1024
+run int4_2048    python benchmarks/bench_dropless_decode.py --tokens 2048
+run w4a8_256     python benchmarks/bench_dropless_decode.py --tokens 256 --activation_bits 8
+run w4a8_1024    python benchmarks/bench_dropless_decode.py --tokens 1024 --activation_bits 8
+run w4a8_2048    python benchmarks/bench_dropless_decode.py --tokens 2048 --activation_bits 8
+run ec_256       python benchmarks/bench_dropless_decode.py --tokens 256 --gate expert_choice
+run ec_1024      python benchmarks/bench_dropless_decode.py --tokens 1024 --gate expert_choice
+run ec_2048      python benchmarks/bench_dropless_decode.py --tokens 2048 --gate expert_choice
+run stream_ceiling python benchmarks/bench_fused_kernel.py --variant ceiling
+run stream_touch   python benchmarks/bench_fused_kernel.py --variant touch
+run stream_unpack  python benchmarks/bench_fused_kernel.py --variant unpack
+run kernel_w4a8    python benchmarks/bench_fused_kernel.py --variant w4a8 --chunk 1024
+run serving      python benchmarks/bench_serving.py
+run lm_serving       python benchmarks/bench_lm_serving.py --spec 4.0
+run lm_serving_kv8   python benchmarks/bench_lm_serving.py --spec 4.0 --kv_bits 8
+note "sweep complete -> $OUT"

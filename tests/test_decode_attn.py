@@ -202,31 +202,35 @@ def test_quantized_kernel_matches_dequantized_reference():
     """decode_attn(int8 K/V + scales) == the XLA reference on the
     explicitly dequantized float cache — the kernel's in-tile dequant
     (score-tile multiply for K, softmax-weight multiply for V) must be
-    EXACTLY the algebraic dequant, not an approximation of it."""
-    q, k, v = _case(b=4, t=64, nh=4, hd=32)
-    pos = jnp.asarray([7, 16, 40, 63], jnp.int32)
+    EXACTLY the algebraic dequant, not an approximation of it.
+    (t is 128-aligned: the quantized kernel's scale slabs put the
+    window on the lane dim.)"""
+    q, k, v = _case(b=4, t=128, nh=4, hd=32)
+    pos = jnp.asarray([7, 16, 40, 127], jnp.int32)
     kq, ks = _quantize_cache(k)
     vq, vs = _quantize_cache(v)
     # dequantized float cache = what the kernel must reproduce
     kd = kq.astype(jnp.float32) * jnp.transpose(ks, (0, 2, 1))[..., None]
     vd = vq.astype(jnp.float32) * jnp.transpose(vs, (0, 2, 1))[..., None]
     ref = _ref_decode_attn(q, kd, vd, pos)
-    out = decode_attn(q, kq, vq, pos, k_scale=ks, v_scale=vs, wc=16,
+    out = decode_attn(q, kq, vq, pos, k_scale=ks, v_scale=vs, wc=128,
                       interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
 
 
 def test_quantized_kernel_unaligned_window_and_boundaries():
-    q, k, v = _case(b=6, t=96, nh=4, hd=32, seed=3)
-    pos = jnp.asarray([15, 16, 17, 31, 32, 75], jnp.int32)
+    q, k, v = _case(b=6, t=256, nh=4, hd=32, seed=3)
+    pos = jnp.asarray([15, 16, 17, 127, 128, 198], jnp.int32)
     kq, ks = _quantize_cache(k)
     vq, vs = _quantize_cache(v)
     kd = kq.astype(jnp.float32) * jnp.transpose(ks, (0, 2, 1))[..., None]
     vd = vq.astype(jnp.float32) * jnp.transpose(vs, (0, 2, 1))[..., None]
-    ref = _ref_decode_attn(q, kd, vd, pos, attn_len=80)
+    # attn_len 200 rounds up to 256 (128-aligned); pos at slab
+    # boundaries exercises the multi-chunk online softmax
+    ref = _ref_decode_attn(q, kd, vd, pos, attn_len=200)
     out = decode_attn(q, kq, vq, pos, k_scale=ks, v_scale=vs,
-                      attn_len=80, wc=32, interpret=True)
+                      attn_len=200, wc=128, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
 

@@ -80,7 +80,7 @@ def test_kv8_kernel_path_matches_xla_path(monkeypatch):
     """The flash-decode kernel's in-tile dequant == the XLA dequant
     through a whole decode step (model_dim=128 so the kernel engages)."""
     model, cfg = _model(kv_bits=8, model_dim=128, num_heads=4,
-                        num_layers=2, top_k=1)
+                        num_layers=2, top_k=1, max_len=128)
     params = model.init(jax.random.PRNGKey(0))
     tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0,
                                 cfg.vocab_size)

@@ -123,3 +123,41 @@ def test_prefill_matches_decode_chain():
         np.testing.assert_allclose(np.asarray(cp["k"]),
                                    np.asarray(cc["k"]), rtol=1e-5,
                                    atol=1e-5)
+
+
+def test_parallel_prefill_matches_scan_prefill():
+    """The round-4 chunked-parallel prefill == the token-by-token scan
+    oracle: final logits and the full written cache, including a chunk
+    size that does not divide the prompt (padding tail) and the INT8
+    KV cache layout."""
+    for kv_bits in (0, 8):
+        model, cfg = _model(capacity_factor=8.0)
+        if kv_bits:
+            import dataclasses
+            cfg = dataclasses.replace(cfg, kv_bits=8)
+            model = TransformerMoE(cfg, group=jax.devices()[:1])
+        params = model.init(jax.random.PRNGKey(0))
+        b, tp = 2, 11                      # 11 % 4 != 0 -> padded tail
+        prompts = jax.random.randint(jax.random.PRNGKey(3), (b, tp), 0,
+                                     cfg.vocab_size)
+        ov = {"capacity_factor": 8.0}
+        ls, cs = model.prefill(params, prompts, model.init_cache(b),
+                               moe_overrides=ov, parallel=False)
+        lp, cp = jax.jit(
+            lambda p, pr, c: model._prefill_parallel(
+                p, pr, c, jax.random.PRNGKey(0), ov, tc=4))(
+            params, prompts, model.init_cache(b))
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(ls),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"kv_bits={kv_bits}")
+        for a, d in zip(cs, cp):
+            for k in a:
+                # compare only the prompt region the scan wrote; the
+                # parallel pad tail holds junk that is never read
+                sl = (slice(None), slice(None, tp)) if k in ("k", "v") \
+                    else (slice(None), slice(None), slice(None, tp))
+                np.testing.assert_allclose(
+                    np.asarray(d[k][sl], np.float32),
+                    np.asarray(a[k][sl], np.float32),
+                    rtol=2e-4, atol=2e-4,
+                    err_msg=f"kv_bits={kv_bits} cache[{k}]")

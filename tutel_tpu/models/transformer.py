@@ -174,8 +174,12 @@ class TransformerMoE:
                                preferred_element_type=jnp.float32)
                 x = x + (o + f["b2"]).astype(cfg.dtype)
         x = self._ln(params["final_ln"], x)
-        logits = jnp.einsum("btd,vd->btv", x.astype(jnp.float32),
-                            params["embed"].astype(jnp.float32))
+        # bf16 operands + f32 accumulation: an f32-upcast vocab matmul
+        # runs at the MXU's f32 rate and measured as the dominant MFU
+        # leak of the training step (benchmarks/bench_lm_train.py)
+        logits = jnp.einsum("btd,vd->btv", x,
+                            params["embed"].astype(x.dtype),
+                            preferred_element_type=jnp.float32)
         return logits, l_aux_sum
 
     # ------------------------------------------------------------------
@@ -324,8 +328,9 @@ class TransformerMoE:
                                    preferred_element_type=jnp.float32)
                     x = x + (o + f["b2"]).astype(cfg.dtype)
             x = self._ln(params["final_ln"], x)
-            logits = jnp.einsum("btd,vd->btv", x.astype(jnp.float32),
-                                params["embed"].astype(jnp.float32))
+            logits = jnp.einsum("btd,vd->btv", x,
+                                params["embed"].astype(x.dtype),
+                                preferred_element_type=jnp.float32)
             # the MoE body's l_aux is already pmeaned over the expert
             # axes; the pmean here is an idempotent replication proof
             return logits, jax.lax.pmean(l_aux_sum, axes)
@@ -487,7 +492,10 @@ class TransformerMoE:
         env = os.environ.get("TUTEL_TPU_DECODE_ATTN", "")
         if env == "0":
             return ""
-        aligned = d % 128 == 0 and self.cfg.max_len % 16 == 0
+        # the INT8-KV kernel's scale slabs put the window on the lane
+        # dim, so the cache length must be 128-aligned there
+        t_align = 128 if self.cfg.kv_bits == 8 else 16
+        aligned = d % 128 == 0 and self.cfg.max_len % t_align == 0
         if not aligned:
             if env == "1":
                 raise ValueError(
@@ -566,25 +574,43 @@ class TransformerMoE:
                                preferred_element_type=jnp.float32)
                 x = x + (o + f["b2"]).astype(cfg.dtype)
         x = self._ln(params["final_ln"], x)
-        logits = jnp.einsum("bd,vd->bv", x.astype(jnp.float32),
-                            params["embed"].astype(jnp.float32))
+        logits = jnp.einsum("bd,vd->bv", x,
+                            params["embed"].astype(x.dtype),
+                            preferred_element_type=jnp.float32)
         if capacity_probe:
             return logits, new_cache, l_aux_sum, needed_max
         return logits, new_cache, l_aux_sum
 
     def prefill(self, params, prompts, cache, key=None,
-                moe_overrides: Optional[dict] = None):
-        """Write prompts [B, Tp] into the cache via a decode scan.
+                moe_overrides: Optional[dict] = None,
+                parallel: bool = True):
+        """Write prompts [B, Tp] into the cache; returns
+        (logits_last [B, V], cache) where logits_last predicts the
+        token after each prompt's last position.
 
-        Returns (logits_last [B, V], cache) where logits_last predicts
-        the token after each prompt's last position. Token-by-token
-        (a lax.scan of `apply_decode`), so it exercises exactly the
-        serving path; chunked MoE prefill is a future optimization.
-        Attention reads are bounded to the prompt length (exact — every
-        position past t is masked; see _attn_step attn_len)."""
+        parallel=True (round 4, the default): ONE causal forward over
+        the whole prompt — attention is a single [Tp, Tp] masked pass
+        per layer and each MoE layer routes all B*Tp prompt tokens in
+        one dispatch, so admission cost is O(1) forward instead of the
+        scan's Tp sequential decode steps (at Tp=1664 the scan runs
+        1664 serial attention/MoE steps; the parallel pass is ~2
+        orders faster). K/V are written into the cache exactly as the
+        decode chain would store them (kv_bits=8: quantize-then-store,
+        and the prefill ATTENDS THROUGH the dequantized stored values,
+        so its logits match the chained-decode numerics, not a
+        higher-precision variant). parallel=False keeps the
+        scan-of-apply_decode form (the oracle the equality test pins
+        the parallel path against).
+
+        Note on keys: the two forms fold the PRNG key differently per
+        position; they are identical whenever routing is deterministic
+        (gate_noise=0 / training=False — always true in serving)."""
         b, tp = prompts.shape
         if key is None:
             key = jax.random.PRNGKey(0)
+        if parallel:
+            return self._prefill_parallel(params, prompts, cache, key,
+                                          moe_overrides)
 
         def step(carry, t):
             cache, _ = carry
@@ -599,6 +625,128 @@ class TransformerMoE:
             step, (cache, jnp.zeros((b, self.cfg.vocab_size),
                                     jnp.float32)),
             jnp.arange(tp))
+        return logits, cache
+
+    def _prefill_parallel(self, params, prompts, cache, key,
+                          moe_overrides, tc: int = 64):
+        """Chunked-parallel prefill: a lax.scan over position chunks of
+        `tc`. Each chunk runs ONE causal attention pass (its queries
+        against the cache window written so far + itself) and ONE MoE
+        dispatch over b*tc tokens, with a content-independent lossless
+        capacity (b*tc — a chunk's tokens cannot exceed that on any
+        expert), so the caller's decode-scale capacity_override never
+        mis-sizes the prompt routing. tc bounds both the MoE buffer
+        (E x b*tc x M) and the transient attention scores."""
+        cfg = self.cfg
+        b, tp = prompts.shape
+        nh, hd = cfg.num_heads, cfg.model_dim // cfg.num_heads
+        kv_q = cfg.kv_bits == 8
+        tc = max(1, min(tc, tp))
+        # the padded prompt must stay inside the cache; shrink the
+        # chunk until it does (tc=1 degenerates to tp_pad == tp)
+        while -(-tp // tc) * tc > cfg.max_len:
+            tc = max(1, tc // 2)
+        tp_pad = -(-tp // tc) * tc
+        n_chunks = tp_pad // tc
+        prompts_p = jnp.pad(prompts, ((0, 0), (0, tp_pad - tp)))
+        x_all = (params["embed"][prompts_p]
+                 + params["pos"][None, :tp_pad]).astype(cfg.dtype)
+        ov = dict(moe_overrides or {})
+        # decode-scale capacity overrides don't apply to a b*tc-token
+        # chunk; an explicit capacity_factor still rules if given
+        ov.pop("capacity_override", None)
+        if "capacity_factor" not in ov:
+            ov["capacity_override"] = b * tc
+        read_len = tp_pad                # cache window the scan reads
+        dus = jax.lax.dynamic_update_slice_in_dim
+
+        def chunk_step(cache, ci):
+            start = ci * tc
+            x = jax.lax.dynamic_slice_in_dim(x_all, start, tc, axis=1)
+            # rows r of this chunk sit at positions start + r
+            r_pos = start + jnp.arange(tc)[:, None]          # [tc, 1]
+            t_iota = jnp.arange(read_len)[None, :]           # [1, W]
+            mask = t_iota <= r_pos                           # [tc, W]
+            new_cache = []
+            for i, block in enumerate(params["blocks"]):
+                h1 = self._ln(block["ln1"], x)
+                qkv = jnp.einsum("btd,de->bte", h1, block["wqkv"],
+                                 preferred_element_type=jnp.float32
+                                 ).astype(x.dtype)
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+                q = q.reshape(b, tc, nh, hd)
+                k = k.reshape(b, tc, nh, hd)
+                v = v.reshape(b, tc, nh, hd)
+                lc = dict(cache[i])
+                if kv_q:
+                    kq, ks = self._kv_quantize(
+                        k.reshape(b * tc, nh, hd))
+                    vq, vs = self._kv_quantize(
+                        v.reshape(b * tc, nh, hd))
+                    lc["k"] = dus(lc["k"],
+                                  kq.reshape(b, tc, nh, hd), start, 1)
+                    lc["v"] = dus(lc["v"],
+                                  vq.reshape(b, tc, nh, hd), start, 1)
+                    lc["k_s"] = dus(
+                        lc["k_s"],
+                        ks.reshape(b, tc, nh).transpose(0, 2, 1),
+                        start, 2)
+                    lc["v_s"] = dus(
+                        lc["v_s"],
+                        vs.reshape(b, tc, nh).transpose(0, 2, 1),
+                        start, 2)
+                    # attend THROUGH the dequantized stored values, so
+                    # prefill logits match the chained-decode numerics
+                    rk = (lc["k"][:, :read_len].astype(jnp.float32)
+                          * lc["k_s"][:, :, :read_len].transpose(
+                              0, 2, 1)[..., None]).astype(x.dtype)
+                    rv = (lc["v"][:, :read_len].astype(jnp.float32)
+                          * lc["v_s"][:, :, :read_len].transpose(
+                              0, 2, 1)[..., None]).astype(x.dtype)
+                else:
+                    lc["k"] = dus(lc["k"], k, start, 1)
+                    lc["v"] = dus(lc["v"], v, start, 1)
+                    rk = lc["k"][:, :read_len]
+                    rv = lc["v"][:, :read_len]
+                new_cache.append(lc)
+                scores = jnp.einsum("bqhd,bkhd->bhqk", q, rk,
+                                    preferred_element_type=jnp.float32)
+                scores = scores * (hd ** -0.5)
+                scores = jnp.where(mask[None, None], scores, -1e30)
+                probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+                a = jnp.einsum("bhqk,bkhd->bqhd", probs, rv,
+                               preferred_element_type=jnp.float32
+                               ).astype(x.dtype)
+                a = a.reshape(b, tc, cfg.model_dim)
+                a = jnp.einsum("btd,de->bte", a, block["wo"],
+                               preferred_element_type=jnp.float32
+                               ).astype(x.dtype)
+                x = x + a
+                h = self._ln(block["ln2"], x)
+                if i in self.moe_layers:
+                    out, _l_aux = self.moe_layers[i](
+                        block["moe"], h,
+                        key=jax.random.fold_in(key, i), **ov)
+                    x = x + out
+                else:
+                    f = block["ffn"]
+                    hdn = jnp.einsum("btd,dh->bth", h, f["w1"],
+                                     preferred_element_type=jnp.float32)
+                    hdn = jax.nn.gelu(hdn + f["b1"]).astype(cfg.dtype)
+                    o = jnp.einsum("bth,hd->btd", hdn, f["w2"],
+                                   preferred_element_type=jnp.float32)
+                    x = x + (o + f["b2"]).astype(cfg.dtype)
+            return new_cache, x
+
+        cache, hs = jax.lax.scan(chunk_step, cache,
+                                 jnp.arange(n_chunks))
+        # hs: [n_chunks, b, tc, d]; the prompt's last position tp-1
+        # lives at chunk (tp-1)//tc, offset (tp-1)%tc (both static)
+        xl = self._ln(params["final_ln"],
+                      hs[(tp - 1) // tc][:, (tp - 1) % tc])
+        logits = jnp.einsum("bd,vd->bv", xl,
+                            params["embed"].astype(xl.dtype),
+                            preferred_element_type=jnp.float32)
         return logits, cache
 
     def loss(self, params, tokens, key=None, training=True,

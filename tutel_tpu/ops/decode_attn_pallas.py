@@ -138,14 +138,21 @@ def decode_attn(q, k, v, pos, *, k_scale=None, v_scale=None,
             k.dtype, v_scale)
         assert k_scale.shape == (bsz, nh, t), (k_scale.shape, k.shape)
     d = nh * hd
+    # the quantized kernel's scale slabs are [nh, wc] blocks whose LAST
+    # dim is wc — Mosaic requires lane dims be multiples of 128, so the
+    # window and chunk align to 128 there (extra read positions are
+    # masked by pos and contribute zero either way)
+    align = 128 if quantized else 16
     w = t if attn_len is None else min(int(attn_len), t)
-    w = -(-w // 16) * 16
+    w = -(-w // align) * align
     w = min(w, t)
-    assert t % 16 == 0, f"cache length {t} must be 16-aligned"
+    assert t % align == 0, (
+        f"cache length {t} must be {align}-aligned for this kernel")
     wc = min(wc, w)
     if w % wc:
-        # shrink to a divisor of w (w is 16-aligned so 16 always works)
-        for cand in (256, 128, 64, 32, 16):
+        # shrink to a divisor of w (w is align-ed so align always works)
+        cands = (256, 128) if quantized else (256, 128, 64, 32, 16)
+        for cand in cands:
             if cand <= wc and w % cand == 0:
                 wc = cand
                 break
