@@ -124,6 +124,13 @@ class TransformerMoE:
                 + p["bias"].astype(jnp.float32)).astype(x.dtype)
 
     def _attn(self, block, x):
+        # NOTE (round 4, measured): the stock TPU flash-attention
+        # Pallas kernel (jax.experimental.pallas.ops.tpu.flash_attention,
+        # causal, custom VJP) was wired here and LOST to this XLA form
+        # on v5e training at both regimes — 249 vs 216 ms/step at
+        # B=32 T=512 and 355 vs 288 ms at B=8 T=2048 (loop-differenced
+        # fwd+bwd+SGD, benchmarks/bench_lm_train.py) — so it was
+        # removed; XLA's fused attention is the production path.
         cfg = self.cfg
         b, t, d = x.shape
         nh, hd = cfg.num_heads, d // cfg.num_heads
