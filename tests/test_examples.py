@@ -140,3 +140,16 @@ def test_serving_decode_example_runs():
         log=lambda *a: None)
     assert moe_stats["finished"] == 20
     assert lm_stats["finished"] == 12
+
+
+def test_seqpar_example_runs():
+    """Sequence-parallel LM training demo (round 4, beyond-reference):
+    the built-in single-device sanity assert pins SP == 1-device nll,
+    then a few SP training steps run."""
+    import argparse
+    from tutel_tpu.examples import seqpar_lm as ex
+    losses = ex.run(argparse.Namespace(
+        batch=2, seq_len=33, model_dim=32, num_heads=8, num_layers=2,
+        experts_per_device=1, steps=3, lr=1e-3, device="cpu"),
+        log=lambda *a, **k: None)
+    assert len(losses) == 3
