@@ -1,11 +1,22 @@
 """Runtime kernel compilation facade (reference: tutel/jit.py,
 tutel/impls/jit_compiler.py).
 
-The reference JIT-compiles CUDA source strings (NVRTC/nvcc). On TPU,
-runtime kernels are Pallas functions compiled by XLA — `compile` wraps
-jax.jit and `pallas_kernel` builds a simple elementwise Pallas kernel from
-a jnp function, covering the "define a custom kernel at runtime" use case
-without source-string templating.
+The reference JIT-compiles arbitrary CUDA source strings at runtime
+(reference custom_kernel.cpp:742-757 `inject_source` + `invoke`;
+jit_compiler.py:37-40 `generate_kernel`). On TPU, runtime kernels are
+Pallas functions compiled by XLA; the full injection surface maps as:
+
+  * `compile`       — jax.jit (the general "compile this program").
+  * `pallas_kernel` — the one-liner: lift an elementwise jnp function
+    into a Pallas kernel (most of the reference examples' injected
+    kernels are elementwise).
+  * `inject_kernel` — the general form: register an arbitrary
+    user-written Pallas kernel BODY (refs in, refs out) with its grid /
+    block specs / scratch, mirroring inject_source+invoke. Compiled
+    executables are cached per argument (shape, dtype) signature by
+    jax.jit, so re-invoking with seen shapes never recompiles — the
+    same no-penalty property the reference gets from its per-device
+    CUfunction cache (custom_kernel.cpp:174-218).
 """
 
 import jax
@@ -13,6 +24,51 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 compile = jax.jit
+
+
+def inject_kernel(kernel, *, out_shape, grid=None, in_specs=None,
+                  out_specs=None, scratch_shapes=(),
+                  dimension_semantics=None, interpret=None):
+    """Register a runtime-defined Pallas kernel and return a callable.
+
+    The TPU-native counterpart of the reference's
+    `inject_source(cuda_src)` + `invoke(inputs)` pair: `kernel` is a
+    Pallas body `kernel(*in_refs, *out_refs, *scratch_refs)`, and the
+    launch geometry (grid, BlockSpecs, scratch) plays the role of the
+    reference's `// [thread_extent]` annotations. Off-TPU the kernel
+    runs in interpret mode (the reference's CPU fallback).
+
+    Example — a runtime-injected tiled row-scale kernel:
+
+        def body(x_ref, s_ref, o_ref):
+            o_ref[...] = x_ref[...] * s_ref[0, 0]
+        scale = jit.inject_kernel(
+            body, out_shape=jax.ShapeDtypeStruct((256, 128), jnp.float32),
+            grid=(2,),
+            in_specs=[pl.BlockSpec((128, 128), lambda i: (i, 0)),
+                      pl.BlockSpec((1, 1), lambda i: (0, 0))],
+            out_specs=pl.BlockSpec((128, 128), lambda i: (i, 0)))
+        y = scale(x, s)
+    """
+    def call(*args):
+        interp = (jax.devices()[0].platform != "tpu"
+                  if interpret is None else interpret)
+        kwargs = {}
+        if grid is not None:
+            kwargs["grid"] = grid
+        if in_specs is not None:
+            kwargs["in_specs"] = in_specs
+        if out_specs is not None:
+            kwargs["out_specs"] = out_specs
+        if scratch_shapes:
+            kwargs["scratch_shapes"] = scratch_shapes
+        if dimension_semantics is not None:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                dimension_semantics=dimension_semantics)
+        shape = out_shape(*args) if callable(out_shape) else out_shape
+        return pl.pallas_call(kernel, out_shape=shape,
+                              interpret=interp, **kwargs)(*args)
+    return jax.jit(call)
 
 
 def pallas_kernel(fn, interpret=None):
