@@ -36,6 +36,10 @@ def main():
     parser.add_argument("--kv_bits", type=int, default=0,
                         help="8 = INT8 KV cache (halves the dominant "
                              "decode HBM cost); 0 = model dtype")
+    parser.add_argument("--kv_heads", type=int, default=0,
+                        help="grouped-query attention KV heads "
+                             "(0 = num_heads; shrinks KV cache and "
+                             "bandwidth by num_heads/kv_heads)")
     parser.add_argument("--device", type=str, default="")
     parser.add_argument("--attn", type=int, default=1,
                         help="0 disables bucketed attention windows "
@@ -65,7 +69,7 @@ def main():
         num_layers=args.num_layers, ffn_hidden=args.model_dim * 4,
         moe_every=2, num_local_experts=args.experts, top_k=2,
         capacity_factor=0.0, expert_hidden=args.expert_hidden,
-        dtype=dtype, kv_bits=args.kv_bits)
+        dtype=dtype, kv_bits=args.kv_bits, num_kv_heads=args.kv_heads)
     model = TransformerMoE(cfg, group=jax.devices()[:1])
 
     @jax.jit
@@ -167,6 +171,7 @@ def main():
         "config": {"model_dim": args.model_dim,
                    "layers": args.num_layers, "experts": args.experts,
                    "bits": args.bits, "kv_bits": args.kv_bits,
+                   "kv_heads": args.kv_heads,
                    "batch": args.batch,
                    "requests": args.requests,
                    "prompt_len": args.prompt_len,

@@ -45,6 +45,13 @@ class TransformerMoEConfig:
                                        # halves the dominant HBM cost
                                        # of decode, per-(pos, head)
                                        # symmetric scales); 0 = dtype
+    num_kv_heads: int = 0              # grouped-query attention: K/V
+                                       # heads (0 = num_heads, i.e.
+                                       # MHA). Shrinks the KV cache
+                                       # and its decode bandwidth by
+                                       # num_heads/num_kv_heads; query
+                                       # head h reads KV group
+                                       # h % num_kv_heads
 
 
 class TransformerMoE:
@@ -72,11 +79,33 @@ class TransformerMoE:
 
     # ------------------------------------------------------------------
 
+    @property
+    def _kvh(self) -> int:
+        """KV heads (grouped-query attention); == num_heads for MHA."""
+        cfg = self.cfg
+        kvh = cfg.num_kv_heads or cfg.num_heads
+        assert cfg.num_heads % kvh == 0, (cfg.num_heads, kvh)
+        return kvh
+
+    def _split_qkv(self, qkv, lead_shape):
+        """Split the fused qkv projection into q [.., nh, hd] and
+        k, v [.., kvh, hd] (the GQA-aware form of jnp.split)."""
+        cfg = self.cfg
+        nh, kvh = cfg.num_heads, self._kvh
+        hd = cfg.model_dim // nh
+        d = cfg.model_dim
+        kvd = kvh * hd
+        q = qkv[..., :d].reshape(*lead_shape, nh, hd)
+        k = qkv[..., d:d + kvd].reshape(*lead_shape, kvh, hd)
+        v = qkv[..., d + kvd:].reshape(*lead_shape, kvh, hd)
+        return q, k, v
+
     def init(self, key) -> Dict[str, Any]:
         cfg = self.cfg
         d = cfg.model_dim
         keys = jax.random.split(key, cfg.num_layers + 2)
         scale = d ** -0.5
+        qkv_dim = d + 2 * self._kvh * (d // cfg.num_heads)
         params: Dict[str, Any] = {
             "embed": jax.random.normal(keys[0], (cfg.vocab_size, d),
                                        cfg.dtype) * scale,
@@ -93,7 +122,7 @@ class TransformerMoE:
                         "bias": jnp.zeros((d,), cfg.dtype)},
                 "ln2": {"scale": jnp.ones((d,), cfg.dtype),
                         "bias": jnp.zeros((d,), cfg.dtype)},
-                "wqkv": jax.random.normal(bk[0], (d, 3 * d),
+                "wqkv": jax.random.normal(bk[0], (d, qkv_dim),
                                           cfg.dtype) * scale,
                 "wo": jax.random.normal(bk[1], (d, d), cfg.dtype) * scale,
             }
@@ -134,19 +163,21 @@ class TransformerMoE:
         cfg = self.cfg
         b, t, d = x.shape
         nh, hd = cfg.num_heads, d // cfg.num_heads
+        kvh = self._kvh
+        mq = nh // kvh
         qkv = jnp.einsum("btd,de->bte", x, block["wqkv"],
                          preferred_element_type=jnp.float32).astype(x.dtype)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(b, t, nh, hd)
-        k = k.reshape(b, t, nh, hd)
-        v = v.reshape(b, t, nh, hd)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+        q, k, v = self._split_qkv(qkv, (b, t))
+        # GQA group convention: head h = m*kvh + g reads KV group g,
+        # i.e. g(h) = h % kvh — the reshape (mq, kvh) realizes it
+        q = q.reshape(b, t, mq, kvh, hd)
+        scores = jnp.einsum("bqmgd,bkgd->bmgqk", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores * (hd ** -0.5)
         mask = jnp.tril(jnp.ones((t, t), bool))
-        scores = jnp.where(mask[None, None], scores, -1e30)
+        scores = jnp.where(mask[None, None, None], scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+        out = jnp.einsum("bmgqk,bkgd->bqmgd", probs, v,
                          preferred_element_type=jnp.float32).astype(x.dtype)
         out = out.reshape(b, t, d)
         return jnp.einsum("btd,de->bte", out, block["wo"],
@@ -290,6 +321,12 @@ class TransformerMoE:
         capacity_override (static-capacity forms — the host-probe
         dropless path can't run under shard_map)."""
         cfg = self.cfg
+        if self._kvh != cfg.num_heads:
+            raise NotImplementedError(
+                "sequence parallelism currently requires MHA "
+                "(num_kv_heads == num_heads): the Ulysses all-to-all "
+                "shards the head axis; a GQA variant would shard the "
+                "kv-head axis and is not implemented")
         mesh, axes, sp = self._moe_mesh()
         if sp == 1:
             return self.apply(params, tokens, key=key, training=training,
@@ -377,14 +414,15 @@ class TransformerMoE:
         its bytes is the serving-side lever the quantized experts
         already pulled for weights."""
         cfg = self.cfg
-        nh, hd = cfg.num_heads, cfg.model_dim // cfg.num_heads
+        kvh, hd = self._kvh, cfg.model_dim // cfg.num_heads
         if cfg.kv_bits == 8:
-            z = lambda: jnp.zeros((batch, cfg.max_len, nh, hd), jnp.int8)
-            s = lambda: jnp.ones((batch, nh, cfg.max_len), jnp.float32)
+            z = lambda: jnp.zeros((batch, cfg.max_len, kvh, hd),
+                                  jnp.int8)
+            s = lambda: jnp.ones((batch, kvh, cfg.max_len), jnp.float32)
             return [{"k": z(), "v": z(), "k_s": s(), "v_s": s()}
                     for _ in range(cfg.num_layers)]
         assert cfg.kv_bits == 0, f"kv_bits={cfg.kv_bits} (0 or 8)"
-        z = lambda: jnp.zeros((batch, cfg.max_len, nh, hd), cfg.dtype)
+        z = lambda: jnp.zeros((batch, cfg.max_len, kvh, hd), cfg.dtype)
         return [{"k": z(), "v": z()} for _ in range(cfg.num_layers)]
 
     @staticmethod
@@ -413,13 +451,12 @@ class TransformerMoE:
         cfg = self.cfg
         b, d = x.shape
         nh, hd = cfg.num_heads, d // cfg.num_heads
+        kvh = self._kvh
+        mq = nh // kvh
         kv_q = cfg.kv_bits == 8
         qkv = jnp.einsum("bd,de->be", x, block["wqkv"],
                          preferred_element_type=jnp.float32).astype(x.dtype)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(b, nh, hd)
-        k = k.reshape(b, nh, hd)
-        v = v.reshape(b, nh, hd)
+        q, k, v = self._split_qkv(qkv, (b,))
         rows = jnp.arange(b)
         cache = dict(layer_cache)
         if kv_q:
@@ -445,7 +482,8 @@ class TransformerMoE:
             # slab cannot fit — mirroring the fused-FFN ladder.
             from ..ops.decode_attn_pallas import pick_wc
             itemsize = 1 if kv_q else jnp.dtype(x.dtype).itemsize
-            wc = pick_wc(cfg.max_len, d, itemsize, nh=nh, quantized=kv_q)
+            wc = pick_wc(cfg.max_len, kvh * hd, itemsize, nh=nh,
+                         quantized=kv_q, mq=mq)
             if wc is None:
                 import os
                 if os.environ.get("TUTEL_TPU_DECODE_ATTN", "") == "1":
@@ -474,13 +512,15 @@ class TransformerMoE:
                 vs = cache["v_s"][:, :, :t].transpose(0, 2, 1)
                 rk = rk.astype(jnp.float32) * ks[..., None]
                 rv = rv.astype(jnp.float32) * vs[..., None]
-            scores = jnp.einsum("bhd,bthd->bht", q, rk,
+            # GQA: query head h = m*kvh + g attends KV group g
+            qg = q.reshape(b, mq, kvh, hd)
+            scores = jnp.einsum("bmgd,btgd->bmgt", qg, rk,
                                 preferred_element_type=jnp.float32)
             scores = scores * (hd ** -0.5)
             mask = jnp.arange(t)[None, :] <= pos[:, None]
-            scores = jnp.where(mask[:, None, :], scores, -1e30)
+            scores = jnp.where(mask[:, None, None, :], scores, -1e30)
             probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-            out = jnp.einsum("bht,bthd->bhd", probs, rv,
+            out = jnp.einsum("bmgt,btgd->bmgd", probs, rv,
                              preferred_element_type=jnp.float32
                              ).astype(x.dtype)
         out = out.reshape(b, d)
@@ -647,6 +687,8 @@ class TransformerMoE:
         cfg = self.cfg
         b, tp = prompts.shape
         nh, hd = cfg.num_heads, cfg.model_dim // cfg.num_heads
+        kvh = self._kvh
+        mq = nh // kvh
         kv_q = cfg.kv_bits == 8
         tc = max(1, min(tc, tp))
         # the padded prompt must stay inside the cache; shrink the
@@ -680,27 +722,24 @@ class TransformerMoE:
                 qkv = jnp.einsum("btd,de->bte", h1, block["wqkv"],
                                  preferred_element_type=jnp.float32
                                  ).astype(x.dtype)
-                q, k, v = jnp.split(qkv, 3, axis=-1)
-                q = q.reshape(b, tc, nh, hd)
-                k = k.reshape(b, tc, nh, hd)
-                v = v.reshape(b, tc, nh, hd)
+                q, k, v = self._split_qkv(qkv, (b, tc))
                 lc = dict(cache[i])
                 if kv_q:
                     kq, ks = self._kv_quantize(
-                        k.reshape(b * tc, nh, hd))
+                        k.reshape(b * tc, kvh, hd))
                     vq, vs = self._kv_quantize(
-                        v.reshape(b * tc, nh, hd))
+                        v.reshape(b * tc, kvh, hd))
                     lc["k"] = dus(lc["k"],
-                                  kq.reshape(b, tc, nh, hd), start, 1)
+                                  kq.reshape(b, tc, kvh, hd), start, 1)
                     lc["v"] = dus(lc["v"],
-                                  vq.reshape(b, tc, nh, hd), start, 1)
+                                  vq.reshape(b, tc, kvh, hd), start, 1)
                     lc["k_s"] = dus(
                         lc["k_s"],
-                        ks.reshape(b, tc, nh).transpose(0, 2, 1),
+                        ks.reshape(b, tc, kvh).transpose(0, 2, 1),
                         start, 2)
                     lc["v_s"] = dus(
                         lc["v_s"],
-                        vs.reshape(b, tc, nh).transpose(0, 2, 1),
+                        vs.reshape(b, tc, kvh).transpose(0, 2, 1),
                         start, 2)
                     # attend THROUGH the dequantized stored values, so
                     # prefill logits match the chained-decode numerics
@@ -716,12 +755,14 @@ class TransformerMoE:
                     rk = lc["k"][:, :read_len]
                     rv = lc["v"][:, :read_len]
                 new_cache.append(lc)
-                scores = jnp.einsum("bqhd,bkhd->bhqk", q, rk,
+                qg = q.reshape(b, tc, mq, kvh, hd)
+                scores = jnp.einsum("bqmgd,bkgd->bmgqk", qg, rk,
                                     preferred_element_type=jnp.float32)
                 scores = scores * (hd ** -0.5)
-                scores = jnp.where(mask[None, None], scores, -1e30)
+                scores = jnp.where(mask[None, None, None], scores,
+                                   -1e30)
                 probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-                a = jnp.einsum("bhqk,bkhd->bqhd", probs, rv,
+                a = jnp.einsum("bmgqk,bkgd->bqmgd", probs, rv,
                                preferred_element_type=jnp.float32
                                ).astype(x.dtype)
                 a = a.reshape(b, tc, cfg.model_dim)

@@ -41,7 +41,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _decode_attn_kernel(pos_ref, qbd_ref, k_ref, v_ref, *rest, wc,
-                        n_chunks, nh, hd, scale, out_dtype, quantized):
+                        n_chunks, nh, hd, mq, scale, out_dtype,
+                        quantized):
     if quantized:
         ks_ref, vs_ref, o_ref, acc_ref, m_ref, z_ref = rest
     else:
@@ -70,12 +71,18 @@ def _decode_attn_kernel(pos_ref, qbd_ref, k_ref, v_ref, *rest, wc,
     compute_t = qbd_ref.dtype if quantized else k_ref.dtype
     kslab = k_ref[0].astype(compute_t) if quantized else k_ref[0]
 
-    # scores [nh, wc] = block-diag(q) . K-slab^T, f32 on the MXU
+    # scores [nh, wc] = block-diag(q) . K-slab^T, f32 on the MXU.
+    # GQA (mq = nh/kvh query heads per KV group, group of head h =
+    # h % kvh): qbd places q_h at its GROUP's column block of the
+    # kvh*hd-wide slab, and the per-group scale/output tiles below
+    # expand to nh rows with jnp.tile — row h of tile(x, (mq, 1)) is
+    # exactly x[h % kvh].
     s = jax.lax.dot_general(
         qbd_ref[0], kslab, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
     if quantized:
-        s = s * ks_ref[0]                                 # [nh, wc]
+        ks = ks_ref[0]                                    # [kvh, wc]
+        s = s * (jnp.tile(ks, (mq, 1)) if mq > 1 else ks)
     s = jnp.where(live, s, -1e30)
 
     # online softmax: rescale the running accumulator by exp(m_old-m_new)
@@ -86,24 +93,33 @@ def _decode_attn_kernel(pos_ref, qbd_ref, k_ref, v_ref, *rest, wc,
     e = jnp.where(live, e, 0.0)
     m_ref[...] = m_new
     z_ref[...] = z_ref[...] * corr + jnp.sum(e, axis=1, keepdims=True)
-    # combine: dot(p, V-slab) -> [nh, D]; rescale old acc first
-    ev = e * vs_ref[0] if quantized else e
+    # combine: dot(p, V-slab) -> [nh, Dkv]; rescale old acc first
+    if quantized:
+        vs = vs_ref[0]                                    # [kvh, wc]
+        ev = e * (jnp.tile(vs, (mq, 1)) if mq > 1 else vs)
+    else:
+        ev = e
     vslab = v_ref[0].astype(compute_t) if quantized else v_ref[0]
     d = jax.lax.dot_general(
         ev.astype(compute_t), vslab, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)               # [nh, D]
+        preferred_element_type=jnp.float32)               # [nh, Dkv]
     acc_ref[...] = acc_ref[...] * corr + d
 
     @pl.when(j == n_chunks - 1)
     def _finalize():
         z = jnp.maximum(z_ref[...], 1e-30)                # [nh, 1]
-        a = acc_ref[...] / z                              # [nh, D]
-        # block-diagonal select: head h's output lives at columns
-        # [h*hd, (h+1)*hd) of row h — mask and fold the heads
+        a = acc_ref[...] / z                              # [nh, Dkv]
+        # block-diagonal select: head h's output lives in its GROUP's
+        # column block [g(h)*hd, (g(h)+1)*hd) of row h. Tiling the
+        # Dkv-wide accumulator mq times gives [nh, nh*hd] whose column
+        # c holds block (c//hd) % kvh — exactly g(h_c) under the
+        # h % kvh group convention — so the plain head-diagonal mask
+        # then selects the right block (mq=1 reduces to the MHA form).
+        a_t = jnp.tile(a, (1, mq)) if mq > 1 else a       # [nh, nh*hd]
         row = jax.lax.broadcasted_iota(jnp.int32, (nh, nh * hd), 0)
         c = jax.lax.broadcasted_iota(jnp.int32, (nh, nh * hd), 1)
         diag = (c >= row * hd) & (c < (row + 1) * hd)
-        o = jnp.sum(jnp.where(diag, a, 0.0), axis=0, keepdims=True)
+        o = jnp.sum(jnp.where(diag, a_t, 0.0), axis=0, keepdims=True)
         o_ref[0] = o.astype(out_dtype)
 
 
@@ -116,11 +132,13 @@ def decode_attn(q, k, v, pos, *, k_scale=None, v_scale=None,
 
     Args:
       q: [B, NH, HD].
-      k, v: [B, T, NH, HD] KV cache — float, or int8 when k_scale /
-        v_scale are given (the INT8 KV-cache serving mode: wire/HBM
-        bytes halve; dequant is an elementwise multiply on the score /
-        softmax tiles, see the kernel comment).
-      k_scale, v_scale: [B, NH, T] f32 per-(head, position) symmetric
+      k, v: [B, T, KVH, HD] KV cache — KVH == NH (MHA) or a divisor of
+        NH (grouped-query attention: query head h reads group
+        h % KVH). Float, or int8 when k_scale / v_scale are given (the
+        INT8 KV-cache serving mode: wire/HBM bytes halve; dequant is
+        an elementwise multiply on the score / softmax tiles, see the
+        kernel comment).
+      k_scale, v_scale: [B, KVH, T] f32 per-(head, position) symmetric
         scales for int8 k/v, or None for a float cache.
       pos: [B] int32; positions t > pos[b] are masked out.
       attn_len: static read bound (None = T). Exact whenever every
@@ -130,14 +148,16 @@ def decode_attn(q, k, v, pos, *, k_scale=None, v_scale=None,
       [B, NH, HD] in q.dtype.
     """
     bsz, nh, hd = q.shape
-    _, t, nh2, hd2 = k.shape
-    assert (nh, hd) == (nh2, hd2), (q.shape, k.shape)
+    _, t, kvh, hd2 = k.shape
+    assert hd == hd2 and nh % kvh == 0, (q.shape, k.shape)
+    mq = nh // kvh
     quantized = k_scale is not None
     if quantized:
         assert v_scale is not None and k.dtype == jnp.int8, (
             k.dtype, v_scale)
-        assert k_scale.shape == (bsz, nh, t), (k_scale.shape, k.shape)
-    d = nh * hd
+        assert k_scale.shape == (bsz, kvh, t), (k_scale.shape, k.shape)
+    d = kvh * hd                 # K/V slab width (== nh*hd when MHA)
+    d_out = nh * hd
     # the quantized kernel's scale slabs are [nh, wc] blocks whose LAST
     # dim is wc — Mosaic requires lane dims be multiples of 128, so the
     # window and chunk align to 128 there (extra read positions are
@@ -158,12 +178,13 @@ def decode_attn(q, k, v, pos, *, k_scale=None, v_scale=None,
                 break
     n_chunks = w // wc
 
-    # block-diagonal q: qbd[b, h, h*hd:(h+1)*hd] = q[b, h], zeros
-    # elsewhere. Built as eye(nh) x q — a broadcast multiply, NOT a
-    # gather (a take_along_axis here measured ~6 ms/step on v5e: TPU
-    # gathers run at scalar rate)
-    eye = jnp.eye(nh, dtype=q.dtype)                      # [nh, nh]
-    qbd = (eye[None, :, :, None] * q[:, :, None, :]).reshape(bsz, nh, d)
+    # block-diagonal q: qbd[b, h, g(h)*hd:(g(h)+1)*hd] = q[b, h] with
+    # g(h) = h % kvh (== h for MHA), zeros elsewhere. Built as a
+    # group-onehot broadcast multiply, NOT a gather (a take_along_axis
+    # here measured ~6 ms/step on v5e: TPU gathers run at scalar rate)
+    go = (jnp.arange(kvh)[None, :]
+          == (jnp.arange(nh) % kvh)[:, None]).astype(q.dtype)
+    qbd = (go[None, :, :, None] * q[:, :, None, :]).reshape(bsz, nh, d)
 
     kf = k.reshape(bsz, t, d)
     vf = v.reshape(bsz, t, d)
@@ -171,7 +192,7 @@ def decode_attn(q, k, v, pos, *, k_scale=None, v_scale=None,
 
     kernel = functools.partial(
         _decode_attn_kernel, wc=wc, n_chunks=n_chunks, nh=nh, hd=hd,
-        scale=scale, out_dtype=q.dtype, quantized=quantized)
+        mq=mq, scale=scale, out_dtype=q.dtype, quantized=quantized)
     in_specs = [
         pl.BlockSpec((1, nh, d), lambda b, j, pos: (b, 0, 0)),
         pl.BlockSpec((1, wc, d), lambda b, j, pos: (b, j, 0)),
@@ -180,8 +201,8 @@ def decode_attn(q, k, v, pos, *, k_scale=None, v_scale=None,
     args = [pos.astype(jnp.int32), qbd, kf, vf]
     if quantized:
         in_specs += [
-            pl.BlockSpec((1, nh, wc), lambda b, j, pos: (b, 0, j)),
-            pl.BlockSpec((1, nh, wc), lambda b, j, pos: (b, 0, j)),
+            pl.BlockSpec((1, kvh, wc), lambda b, j, pos: (b, 0, j)),
+            pl.BlockSpec((1, kvh, wc), lambda b, j, pos: (b, 0, j)),
         ]
         args += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
     out = pl.pallas_call(
@@ -190,14 +211,15 @@ def decode_attn(q, k, v, pos, *, k_scale=None, v_scale=None,
             num_scalar_prefetch=1,
             grid=(bsz, n_chunks),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 1, d), lambda b, j, pos: (b, 0, 0)),
+            out_specs=pl.BlockSpec((1, 1, d_out),
+                                   lambda b, j, pos: (b, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((nh, d), jnp.float32),
                 pltpu.VMEM((nh, 1), jnp.float32),
                 pltpu.VMEM((nh, 1), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((bsz, 1, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, 1, d_out), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * bsz * w * d,
             bytes_accessed=2 * bsz * w * d * k.dtype.itemsize,
@@ -210,18 +232,20 @@ def decode_attn(q, k, v, pos, *, k_scale=None, v_scale=None,
 
 
 def vmem_bytes_decode_attn(t, d, itemsize, wc=512, nh=1,
-                           quantized=False):
+                           quantized=False, mq=1):
     """VMEM footprint estimate: double-buffered K+V slabs (the dominant
     term) + the f32 accumulator scratch [nh, d] + the qbd input block
     and output block. `quantized` adds the f32 scale slabs of the INT8
-    KV mode (itemsize should then be 1)."""
+    KV mode (itemsize should then be 1). `d` is the K/V slab width
+    (kvh*hd under GQA); `mq` = nh/kvh (output width is mq*d)."""
     wc = min(wc, t)
+    kvh = max(nh // max(mq, 1), 1)
     slabs = 2 * 2 * wc * d * itemsize          # K + V, double-buffered
     if quantized:
-        slabs += 2 * 2 * wc * nh * 4           # k/v scale slabs (f32)
+        slabs += 2 * 2 * wc * kvh * 4          # k/v scale slabs (f32)
     scratch = nh * d * 4 + 2 * nh * 4          # acc + m + z (f32)
     qio = 2 if quantized else itemsize         # qbd stays in q.dtype
-    io = 2 * nh * d * qio + d * qio            # qbd (dbl-buf) + out
+    io = 2 * nh * d * qio + mq * d * qio       # qbd (dbl-buf) + out
     return slabs + scratch + io
 
 
@@ -232,7 +256,7 @@ VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
 
 def pick_wc(t, d, itemsize, nh=1, budget=VMEM_BUDGET_BYTES,
-            quantized=False):
+            quantized=False, mq=1):
     """Largest window chunk whose kernel fits the VMEM budget, or None
     when even the minimum chunk (16) does not fit — the caller must
     then take the XLA windowed-attention path. Mirrors the fused-FFN
@@ -240,6 +264,6 @@ def pick_wc(t, d, itemsize, nh=1, budget=VMEM_BUDGET_BYTES,
     instead of failing to compile at large model_dim."""
     for wc in (512, 256, 128, 64, 32, 16):
         if vmem_bytes_decode_attn(t, d, itemsize, wc=wc, nh=nh,
-                                  quantized=quantized) <= budget:
+                                  quantized=quantized, mq=mq) <= budget:
             return wc
     return None
