@@ -146,13 +146,115 @@ def test_seqpar_composes_with_expert_slicing_tp():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_ring_forward_equals_single_device():
+    """Ring attention (blockwise ppermute + online softmax) == the
+    single-device full softmax, with MoE in the loop."""
+    cfg = _cfg()
+    sp_model, ref_model = _models(cfg)
+    params = ref_model.init(jax.random.PRNGKey(0))
+    b, t = 2, 32
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (b, t), 0,
+                                cfg.vocab_size)
+    ref_logits, _ = ref_model.apply(
+        params, tokens, moe_overrides={"capacity_override": b * t})
+    sp_params = _shard_moe(sp_model, params)
+    sp_logits, sp_aux = jax.jit(
+        lambda p, tok: sp_model.apply_seqpar(
+            p, tok, moe_overrides={"capacity_override": b * t},
+            attn_mode="ring"))(sp_params, tokens)
+    np.testing.assert_allclose(np.asarray(sp_logits),
+                               np.asarray(ref_logits),
+                               rtol=2e-4, atol=2e-4)
+    assert np.isfinite(float(sp_aux))
+
+
+def test_ring_lifts_head_bound_and_mha_restriction():
+    """The two layouts Ulysses cannot run: P > num_heads, and GQA.
+    Ring attention handles both (the head axis is never re-sharded)."""
+    import pytest as _pytest
+    # (a) num_heads=4 < 8 devices
+    cfg = _cfg(num_heads=4, num_layers=2)
+    sp_model, ref_model = _models(cfg)
+    params = ref_model.init(jax.random.PRNGKey(0))
+    b, t = 2, 32
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (b, t), 0,
+                                cfg.vocab_size)
+    with _pytest.raises(ValueError, match="must divide"):
+        sp_model.apply_seqpar(params, tokens)   # ulysses refuses
+    ref_logits, _ = ref_model.apply(
+        params, tokens, moe_overrides={"capacity_override": b * t})
+    sp_params = _shard_moe(sp_model, params)
+    sp_logits, _ = jax.jit(
+        lambda p, tok: sp_model.apply_seqpar(
+            p, tok, moe_overrides={"capacity_override": b * t},
+            attn_mode="ring"))(sp_params, tokens)
+    np.testing.assert_allclose(np.asarray(sp_logits),
+                               np.asarray(ref_logits),
+                               rtol=2e-4, atol=2e-4)
+    # (b) grouped-query attention (num_kv_heads=2 of 8)
+    gqa_cfg = _cfg(num_kv_heads=2, num_layers=2)
+    sp_model, ref_model = _models(gqa_cfg)
+    params = ref_model.init(jax.random.PRNGKey(4))
+    tokens = jax.random.randint(jax.random.PRNGKey(5), (b, t), 0,
+                                gqa_cfg.vocab_size)
+    with _pytest.raises(NotImplementedError, match="ring"):
+        sp_model.apply_seqpar(params, tokens)   # ulysses refuses GQA
+    ref_logits, _ = ref_model.apply(
+        params, tokens, moe_overrides={"capacity_override": b * t})
+    sp_params = _shard_moe(sp_model, params)
+    sp_logits, _ = jax.jit(
+        lambda p, tok: sp_model.apply_seqpar(
+            p, tok, moe_overrides={"capacity_override": b * t},
+            attn_mode="ring"))(sp_params, tokens)
+    np.testing.assert_allclose(np.asarray(sp_logits),
+                               np.asarray(ref_logits),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_ring_grads_equal_single_device():
+    """Training gradients through the ring (ppermute rotation + online
+    softmax rescaling + MoE local_forward) == single device."""
+    cfg = _cfg(num_layers=2)
+    sp_model, ref_model = _models(cfg)
+    params = ref_model.init(jax.random.PRNGKey(0))
+    b, t = 2, 33
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (b, t), 0,
+                                cfg.vocab_size)
+    cap = b * (t - 1)
+
+    def ref_loss(p):
+        _loss, (nll, _aux) = ref_model.loss(
+            p, tokens, l_aux_wt=0.0, training=True,
+            moe_overrides={"capacity_override": cap})
+        return nll
+
+    def sp_loss(p):
+        _loss, (nll, _aux) = sp_model.loss_seqpar(
+            p, tokens, l_aux_wt=0.0, training=True,
+            moe_overrides={"capacity_override": cap}, attn_mode="ring")
+        return nll
+
+    ref_val, ref_grads = jax.value_and_grad(ref_loss)(params)
+    sp_params = _shard_moe(sp_model, params)
+    sp_val, sp_grads = jax.jit(jax.value_and_grad(sp_loss))(sp_params)
+    np.testing.assert_allclose(float(sp_val), float(ref_val),
+                               rtol=1e-5, atol=1e-6)
+    ref_leaves = jax.tree_util.tree_flatten_with_path(ref_grads)[0]
+    sp_leaves = dict(jax.tree_util.tree_flatten_with_path(sp_grads)[0])
+    for path, rg in ref_leaves:
+        sg = sp_leaves[path]
+        np.testing.assert_allclose(
+            np.asarray(sg), np.asarray(rg), rtol=3e-4, atol=3e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
 def test_seqpar_validations():
     cfg = _cfg()
     sp_model, _ = _models(cfg)
     params_model = TransformerMoE(cfg, group=jax.devices()[:1])
     params = params_model.init(jax.random.PRNGKey(0))
     tokens = jnp.zeros((2, 12), jnp.int32)   # 12 % 8 != 0
-    with pytest.raises(ValueError, match="must both divide"):
+    with pytest.raises(ValueError, match="must divide"):
         sp_model.apply_seqpar(params, tokens)
     no_moe = TransformerMoE(TransformerMoEConfig(
         **{**cfg.__dict__, "moe_every": 0}), group=jax.devices())

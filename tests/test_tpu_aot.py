@@ -419,6 +419,42 @@ def test_seqpar_lm_compiles_for_4_hosts():
     assert spanning, "no all-to-all spans hosts on the 4-host SP mesh"
 
 
+def test_ring_attention_lm_compiles_for_4_hosts():
+    """Ring-attention SP x EP on the genuine 4-process v5e:4x4
+    topology, in the layout Ulysses CANNOT run: 4 query heads on a
+    16-device SP world, grouped-query attention (2 KV heads). The
+    lowered program must rotate K/V blocks with collective-permutes
+    that cross hosts (the ring spans the DCN boundary)."""
+    from tutel_tpu.models import TransformerMoE, TransformerMoEConfig
+    devs = _topology("v5e:4x4")
+    n = len(devs)
+    cfg = TransformerMoEConfig(
+        vocab_size=512, max_len=16 * n, model_dim=512, num_heads=4,
+        num_kv_heads=2, num_layers=2, ffn_hidden=128, moe_every=2,
+        num_local_experts=1, top_k=2, capacity_factor=1.0,
+        expert_hidden=128, dtype=jnp.bfloat16)
+    model = TransformerMoE(cfg, group=devs)
+    params = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0)))
+    tokens = jax.ShapeDtypeStruct((2, 8 * n), jnp.int32)
+    txt = jax.jit(
+        lambda p, tok: model.apply_seqpar(p, tok, attn_mode="ring")
+    ).lower(params, tokens).compile().as_text()
+    perms = [ln for ln in txt.splitlines() if "collective-permute" in ln
+             and "source_target_pairs" in ln]
+    assert perms, "ring program lost its K/V collective-permute rotation"
+    proc_of = {i: d.process_index for i, d in enumerate(devs)}
+    import re as _re
+    crossing = False
+    for ln in perms:
+        m = _re.search(r"source_target_pairs=\{([^}]*)\}", ln)
+        if not m:
+            continue
+        pairs = _re.findall(r"\{(\d+),(\d+)\}", m.group(1))
+        if any(proc_of[int(a)] != proc_of[int(b)] for a, b in pairs):
+            crossing = True
+    assert crossing, "no collective-permute crosses hosts on the ring"
+
+
 def test_decode_attn_int8_kv_mosaic_compiles():
     """The INT8 KV-cache variant of the flash-decode kernel (int8
     slabs + per-(head, pos) scale slabs, dequant folded into the

@@ -1,11 +1,13 @@
-"""Sequence-parallel (Ulysses SP x EP) Transformer-MoE training demo.
+"""Sequence-parallel (SP x EP) Transformer-MoE training demo.
 
 The round-4 capability the reference only sketches (spatial_split,
 reference tutel/impls/communicate.py:589-604): the LM trains with its
 SEQUENCE sharded across all devices of the MoE layers' own mesh —
-attention re-shards heads<->sequence via an all-to-all pair and each
-MoE layer consumes the token shard directly, so sequence parallelism,
-expert parallelism, and expert-slicing TP share one mesh.
+attention runs context-parallel (--attn ulysses: the head<->sequence
+all-to-all pair; --attn ring: blockwise ring attention over ppermute,
+which lifts the head-count bound and supports GQA via --num_kv_heads)
+and each MoE layer consumes the token shard directly, so sequence
+parallelism, expert parallelism, and expert-slicing TP share one mesh.
 
 Runs on the virtual CPU mesh out of the box:
 
@@ -34,8 +36,10 @@ def run(args, log=print):
 
     devices = jax.devices()
     sp = len(devices)
-    assert args.num_heads % sp == 0, (
-        f"num_heads={args.num_heads} must divide the {sp}-device mesh")
+    if args.attn == "ulysses":
+        assert args.num_heads % sp == 0, (
+            f"num_heads={args.num_heads} must divide the {sp}-device "
+            "mesh for Ulysses (pass --attn ring to lift the bound)")
     assert (args.seq_len - 1) % sp == 0, (
         f"seq_len-1={args.seq_len - 1} must divide the {sp}-device mesh "
         "(the loss shards the shifted slice tokens[:, :-1])")
@@ -45,7 +49,8 @@ def run(args, log=print):
         num_heads=args.num_heads, num_layers=args.num_layers,
         ffn_hidden=2 * args.model_dim, moe_every=2,
         num_local_experts=args.experts_per_device, top_k=2,
-        capacity_factor=2.0, expert_hidden=2 * args.model_dim)
+        capacity_factor=2.0, expert_hidden=2 * args.model_dim,
+        num_kv_heads=args.num_kv_heads)
     sp_model = TransformerMoE(cfg, group=devices)
     e_global = list(sp_model.moe_layers.values())[0].num_global_experts
     ref_model = TransformerMoE(
@@ -67,7 +72,8 @@ def run(args, log=print):
     def sp_loss(p, toks):
         loss, (nll, _aux) = sp_model.loss_seqpar(
             p, toks, l_aux_wt=0.0, training=True,
-            moe_overrides={"capacity_override": cap})
+            moe_overrides={"capacity_override": cap},
+            attn_mode=args.attn)
         return nll
 
     # sanity: SP == single device on the first batch
@@ -107,6 +113,14 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--device", type=str, default="")
+    p.add_argument("--attn", type=str, default="ulysses",
+                   choices=("ulysses", "ring"),
+                   help="context-parallel attention: the Ulysses "
+                        "head<->sequence a2a pair, or blockwise ring "
+                        "attention (no head bound; GQA supported)")
+    p.add_argument("--num_kv_heads", type=int, default=0,
+                   help="grouped-query attention KV heads "
+                        "(0 = MHA; requires --attn ring)")
     run(p.parse_args())
 
 

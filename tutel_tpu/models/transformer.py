@@ -283,6 +283,72 @@ class TransformerMoE:
         return jnp.einsum("btd,de->bte", out, block["wo"],
                           preferred_element_type=jnp.float32).astype(x.dtype)
 
+    def _attn_ringpar(self, block, x, axes, sp):
+        """Ring (context-parallel) attention: x [B, T/P, d].
+
+        Flash-style blockwise attention with an online softmax: each
+        device keeps its QUERY block resident and rotates the K/V
+        blocks around the mesh-axis ring with `lax.ppermute` — P steps,
+        step j consuming the block that originated on device
+        (i - j) mod P, causal-masked by GLOBAL position. Accumulators
+        (running max m, denominator l, numerator acc) are f32; the
+        normalization divides once at the end, so the result equals
+        ordinary softmax attention exactly (up to f32 summation order).
+
+        Contrast with the Ulysses pair (`_attn_seqpar`): the head axis
+        is never re-sharded, so the SP degree is NOT bounded by
+        num_heads and grouped-query attention works unchanged (only
+        the kvh K/V heads travel — for GQA that is LESS wire than
+        Ulysses' full-head q/out legs). This is the blockwise form of
+        Liu et al.'s Ring Attention, built from the same collective
+        vocabulary the reference sketches for re-sharding (reference
+        tutel/impls/communicate.py:589-604 spatial_split; SURVEY §5
+        long-context capability parity)."""
+        cfg = self.cfg
+        b, tl, d = x.shape
+        nh, hd = cfg.num_heads, d // cfg.num_heads
+        kvh = self._kvh
+        mq = nh // kvh
+        qkv = jnp.einsum("btd,de->bte", x, block["wqkv"],
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        q, k, v = self._split_qkv(qkv, (b, tl))
+        qg = q.reshape(b, tl, mq, kvh, hd)
+        i = jax.lax.axis_index(axes)
+        scale = hd ** -0.5
+        q_pos = i * tl + jnp.arange(tl)                        # [tl]
+        fwd_perm = [(r, (r + 1) % sp) for r in range(sp)]
+        m = jnp.full((b, mq, kvh, tl), -jnp.inf, jnp.float32)
+        den = jnp.zeros((b, mq, kvh, tl), jnp.float32)
+        acc = jnp.zeros((b, tl, mq, kvh, hd), jnp.float32)
+        k_blk, v_blk = k, v
+        for j in range(sp):
+            src = (i - j) % sp
+            k_pos = src * tl + jnp.arange(tl)                  # [tl]
+            scores = jnp.einsum("bqmgd,bkgd->bmgqk", qg, k_blk,
+                                preferred_element_type=jnp.float32)
+            scores = scores * scale
+            mask = k_pos[None, :] <= q_pos[:, None]            # [tl, tl]
+            scores = jnp.where(mask[None, None, None], scores, -jnp.inf)
+            blk_max = jnp.max(scores, axis=-1)                 # [b,m,g,q]
+            new_m = jnp.maximum(m, blk_max)
+            safe_m = jnp.where(jnp.isfinite(new_m), new_m, 0.0)
+            p = jnp.where(mask[None, None, None],
+                          jnp.exp(scores - safe_m[..., None]), 0.0)
+            alpha = jnp.where(jnp.isfinite(m),
+                              jnp.exp(m - safe_m), 0.0)        # [b,m,g,q]
+            den = den * alpha + jnp.sum(p, axis=-1)
+            pv = jnp.einsum("bmgqk,bkgd->bqmgd", p, v_blk,
+                            preferred_element_type=jnp.float32)
+            acc = acc * alpha.transpose(0, 3, 1, 2)[..., None] + pv
+            m = new_m
+            if j + 1 < sp:
+                k_blk = jax.lax.ppermute(k_blk, axes, fwd_perm)
+                v_blk = jax.lax.ppermute(v_blk, axes, fwd_perm)
+        out = acc / den.transpose(0, 3, 1, 2)[..., None]
+        out = out.astype(x.dtype).reshape(b, tl, d)
+        return jnp.einsum("btd,de->bte", out, block["wo"],
+                          preferred_element_type=jnp.float32).astype(x.dtype)
+
     def seqpar_specs(self, params):
         """(mesh, token_axes, param_specs, logits_spec) for the
         sequence-parallel forward — exposed so callers can build their
@@ -302,40 +368,56 @@ class TransformerMoE:
         return mesh, axes, pspec, P(None, axes, None)
 
     def apply_seqpar(self, params, tokens, key=None, training=False,
-                     moe_overrides: Optional[dict] = None):
+                     moe_overrides: Optional[dict] = None,
+                     attn_mode: str = "ulysses"):
         """Sequence-parallel forward: tokens [B, T] with T sharded over
         the MoE layers' device mesh -> (logits [B, T, V], l_aux_sum).
 
         The whole transformer runs under ONE shard_map on the MoE mesh:
-        each device holds T/P tokens; attention re-shards to full-
-        sequence/partial-heads via the Ulysses all-to-all pair
-        (`_attn_seqpar`); the MoE layers consume the token shard
+        each device holds T/P tokens; attention runs context-parallel
+        per `attn_mode`; the MoE layers consume the token shard
         directly through `local_forward`, so their expert all-to-all
         rides the SAME mesh axes — SP composes with EP (and expert-
         slicing TP) with zero re-sharding between attention and MoE.
         Numerically equal to `apply` on one device whenever routing
         drops nothing (pinned by tests/test_seqpar.py).
 
-        Requires T % P == 0 and num_heads % P == 0 (P = the MoE world
-        size). moe_overrides supports top_k / capacity_factor /
-        capacity_override (static-capacity forms — the host-probe
-        dropless path can't run under shard_map)."""
+        attn_mode:
+          * "ulysses" — head<->sequence all-to-all pair around a full
+            attention (`_attn_seqpar`). Requires num_heads % P == 0 and
+            MHA (the a2a shards the head axis).
+          * "ring" — blockwise ring attention (`_attn_ringpar`): K/V
+            blocks rotate over ppermute with an online softmax. No
+            head-count bound, GQA supported; the K/V axis stays
+            sequence-sharded throughout (memory O(T/P) per device).
+
+        Requires T % P == 0 (P = the MoE world size). moe_overrides
+        supports top_k / capacity_factor / capacity_override
+        (static-capacity forms — the host-probe dropless path can't
+        run under shard_map)."""
         cfg = self.cfg
-        if self._kvh != cfg.num_heads:
+        if attn_mode not in ("ulysses", "ring"):
+            raise ValueError(f"attn_mode={attn_mode!r} "
+                             "(expected 'ulysses' or 'ring')")
+        if attn_mode == "ulysses" and self._kvh != cfg.num_heads:
             raise NotImplementedError(
-                "sequence parallelism currently requires MHA "
-                "(num_kv_heads == num_heads): the Ulysses all-to-all "
-                "shards the head axis; a GQA variant would shard the "
-                "kv-head axis and is not implemented")
+                "attn_mode='ulysses' requires MHA (num_kv_heads == "
+                "num_heads): its all-to-all shards the head axis; use "
+                "attn_mode='ring' for grouped-query attention")
         mesh, axes, sp = self._moe_mesh()
         if sp == 1:
             return self.apply(params, tokens, key=key, training=training,
                               moe_overrides=moe_overrides)
         b, t = tokens.shape
-        if t % sp or cfg.num_heads % sp:
+        if t % sp:
             raise ValueError(
-                f"sequence length {t} and num_heads {cfg.num_heads} "
-                f"must both divide the {sp}-device SP world")
+                f"sequence length {t} must divide the {sp}-device "
+                "SP world")
+        if attn_mode == "ulysses" and cfg.num_heads % sp:
+            raise ValueError(
+                f"num_heads {cfg.num_heads} must divide the {sp}-device "
+                "SP world for attn_mode='ulysses' (use 'ring' to lift "
+                "the head bound)")
         if key is None:
             key = jax.random.PRNGKey(0)
         ov = dict(moe_overrides or {})
@@ -354,8 +436,11 @@ class TransformerMoE:
                  + pos_p[None]).astype(cfg.dtype)
             l_aux_sum = jnp.float32(0)
             for i, block in enumerate(params["blocks"]):
-                x = x + self._attn_seqpar(
-                    block, self._ln(block["ln1"], x), axes)
+                h1 = self._ln(block["ln1"], x)
+                if attn_mode == "ring":
+                    x = x + self._attn_ringpar(block, h1, axes, sp)
+                else:
+                    x = x + self._attn_seqpar(block, h1, axes)
                 h = self._ln(block["ln2"], x)
                 if i in self.moe_layers:
                     out, l_aux = moe_fns[i](
@@ -386,7 +471,8 @@ class TransformerMoE:
         return fn(params, tokens, key)
 
     def loss_seqpar(self, params, tokens, key=None, training=True,
-                    l_aux_wt=0.01, moe_overrides=None):
+                    l_aux_wt=0.01, moe_overrides=None,
+                    attn_mode: str = "ulysses"):
         """Sequence-parallel next-token loss (the SP form of `loss`).
 
         The shifted input slice tokens[:, :-1] is what shards, so the
@@ -394,7 +480,7 @@ class TransformerMoE:
         an 8-device SP world)."""
         logits, l_aux = self.apply_seqpar(
             params, tokens[:, :-1], key=key, training=training,
-            moe_overrides=moe_overrides)
+            moe_overrides=moe_overrides, attn_mode=attn_mode)
         targets = tokens[:, 1:]
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.mean(jnp.take_along_axis(
