@@ -35,7 +35,8 @@ def main():
     parser.add_argument("--bits", type=int, default=4)
     parser.add_argument("--kv_bits", type=int, default=0,
                         help="8 = INT8 KV cache (halves the dominant "
-                             "decode HBM cost); 0 = model dtype")
+                             "decode HBM cost); 4 = INT4 nibble-packed "
+                             "(quarter); 0 = model dtype")
     parser.add_argument("--kv_heads", type=int, default=0,
                         help="grouped-query attention KV heads "
                              "(0 = num_heads; shrinks KV cache and "

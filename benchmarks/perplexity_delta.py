@@ -132,11 +132,12 @@ def main():
         return float(run(params, held))
 
     d0 = decode_nll(0)
-    d8 = decode_nll(8)
     out["decode_fp_nll"] = round(d0, 4)
-    out["kv8_nll"] = round(d8, 4)
-    out["kv8_delta"] = round(d8 - d0, 4)
-    out["kv8_ppl_ratio"] = round(math.exp(d8 - d0), 4)
+    for kvb in (8, 4):
+        dq = decode_nll(kvb)
+        out[f"kv{kvb}_nll"] = round(dq, 4)
+        out[f"kv{kvb}_delta"] = round(dq - d0, 4)
+        out[f"kv{kvb}_ppl_ratio"] = round(math.exp(dq - d0), 4)
     print(json.dumps(out))
 
 

@@ -235,6 +235,65 @@ def test_quantized_kernel_unaligned_window_and_boundaries():
                                rtol=2e-5, atol=2e-5)
 
 
+# ---------------------------------------------------------------------------
+# INT4 KV cache mode (round 4b): nibble-packed values, same scale layout
+# ---------------------------------------------------------------------------
+
+def _quantize_cache4(k):
+    """Per-(b, t, head) symmetric INT4, full-width split-half packed
+    (matching TransformerMoE._kv_quantize4): returns (packed int8
+    [B,T,kvh*hd//2], scales [B,kvh,T] f32, dequantized float cache)."""
+    kf = np.asarray(k, np.float32)
+    b, t, kvh, hd = kf.shape
+    s = np.maximum(np.abs(kf).max(axis=-1) / 7.0, 1e-10)    # [B,T,kvh]
+    q = np.clip(np.round(kf / s[..., None]), -7, 7).astype(np.int32)
+    deq = (q * s[..., None]).astype(np.float32)
+    flat = q.reshape(b, t, kvh * hd)
+    dp = kvh * hd // 2
+    packed = ((flat[..., :dp] & 0xF)
+              | ((flat[..., dp:] & 0xF) << 4)).astype(np.int8)
+    return (jnp.asarray(packed), jnp.asarray(s.transpose(0, 2, 1)),
+            jnp.asarray(deq))
+
+
+def test_int4_kernel_matches_dequantized_reference():
+    """decode_attn(kv_bits=4) == the XLA reference on the explicitly
+    dequantized float cache: the in-kernel nibble unpack (int32-domain
+    split-half concat) + scale folding must be EXACTLY the algebraic
+    dequant."""
+    q, k, v = _case(b=4, t=128, nh=4, hd=64)
+    pos = jnp.asarray([7, 16, 40, 127], jnp.int32)
+    kq, ks, kd = _quantize_cache4(k)
+    vq, vs, vd = _quantize_cache4(v)
+    ref = _ref_decode_attn(q, kd, vd, pos)
+    out = decode_attn(q, kq, vq, pos, k_scale=ks, v_scale=vs,
+                      kv_bits=4, wc=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_int4_kernel_gqa_and_boundaries():
+    """INT4 + grouped-query attention (4 query heads reading 2 KV
+    groups) across slab boundaries and an unaligned attn_len."""
+    b, t, nh, kvh, hd = 6, 256, 4, 2, 64
+    ks_ = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(ks_[0], (b, nh, hd), jnp.float32)
+    k = jax.random.normal(ks_[1], (b, t, kvh, hd), jnp.float32)
+    v = jax.random.normal(ks_[2], (b, t, kvh, hd), jnp.float32)
+    pos = jnp.asarray([15, 16, 17, 127, 128, 198], jnp.int32)
+    kq, ksc, kd = _quantize_cache4(k)
+    vq, vsc, vd = _quantize_cache4(v)
+    # GQA reference: query head h reads KV group h % kvh
+    idx = jnp.arange(nh) % kvh
+    kd_e = kd[:, :, idx]
+    vd_e = vd[:, :, idx]
+    ref = _ref_decode_attn(q, kd_e, vd_e, pos, attn_len=200)
+    out = decode_attn(q, kq, vq, pos, k_scale=ksc, v_scale=vsc,
+                      kv_bits=4, attn_len=200, wc=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_pick_wc_accounts_for_scale_slabs():
     base = vmem_bytes_decode_attn(2048, 1024, 1, wc=512, nh=8)
     quant = vmem_bytes_decode_attn(2048, 1024, 1, wc=512, nh=8,

@@ -114,6 +114,121 @@ def test_kv8_engine_end_to_end():
     assert out2[0].shape == (8,)
 
 
+def test_kv4_close_to_full_precision():
+    """INT4 KV (per-(pos, head) scales over hd values) tracks the
+    full-precision cache within its wider quantization envelope —
+    roughly 16x the INT8 element error, compounding through the same 4
+    residual layers. Bounds measured on this config; a broken nibble
+    pack/unpack or scale layout lands orders of magnitude outside.
+    The production accuracy pin is the TRAINED-model Δnll
+    (benchmarks/perplexity_delta.py kv4 row)."""
+    model4, cfg = _model(kv_bits=4)
+    model0, _ = _model(kv_bits=0)
+    params = model0.init(jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0,
+                                cfg.vocab_size)
+    l0, _ = _decode_chain(model0, params, tokens, model0.init_cache(2))
+    l4, _ = _decode_chain(model4, params, tokens, model4.init_cache(2))
+    p0 = np.asarray(jax.nn.log_softmax(jnp.asarray(l0), axis=-1))
+    p4 = np.asarray(jax.nn.log_softmax(jnp.asarray(l4), axis=-1))
+    diff = np.abs(p4 - p0)
+    assert diff.mean() < 0.25, diff.mean()
+    assert np.quantile(diff, 0.9) < 0.6, np.quantile(diff, 0.9)
+    # the full forward (no cache) is untouched by kv_bits
+    f0, _ = model0.apply(params, tokens)
+    f4, _ = model4.apply(params, tokens)
+    np.testing.assert_allclose(np.asarray(f4), np.asarray(f0))
+
+
+def test_kv4_quantize_pack_roundtrip():
+    """_kv_quantize4 -> _kv_dequant4 is exact for values already on the
+    INT4 grid, and within one scale step otherwise."""
+    rng = np.random.RandomState(0)
+    b, kvh, hd = 3, 2, 32
+    # exact grid: values are s * n for n in [-7, 7]
+    s = rng.rand(b, kvh).astype(np.float32) + 0.5
+    n = rng.randint(-7, 8, (b, kvh, hd)).astype(np.float32)
+    x = jnp.asarray(s[..., None] * n)
+    packed, scales = TransformerMoE._kv_quantize4(x)
+    assert packed.shape == (b, kvh * hd // 2) and packed.dtype == jnp.int8
+    deq = TransformerMoE._kv_dequant4(
+        packed[:, None], scales[..., None], kvh, hd, 1)[:, 0]
+    np.testing.assert_allclose(np.asarray(deq), np.asarray(x),
+                               rtol=1e-5, atol=1e-5)
+    # generic values: error bounded by half a scale step
+    y = jnp.asarray(rng.randn(b, kvh, hd).astype(np.float32))
+    packed, scales = TransformerMoE._kv_quantize4(y)
+    deq = TransformerMoE._kv_dequant4(
+        packed[:, None], scales[..., None], kvh, hd, 1)[:, 0]
+    step = np.asarray(scales)[..., None]
+    assert (np.abs(np.asarray(deq) - np.asarray(y))
+            <= 0.5 * step + 1e-6).all()
+
+
+def test_kv4_kernel_path_matches_xla_path(monkeypatch):
+    """The flash-decode kernel's in-tile nibble unpack + dequant == the
+    XLA unpack path through whole decode steps (model_dim=256,
+    num_heads=2 so the packed slab width is 128-aligned and the kernel
+    engages); covers GQA packing too."""
+    # (model_dim, num_heads, num_kv_heads): MHA with packed width 128,
+    # then GQA (2 KV heads of 4) at the same packed width
+    for md, nh, kvh in ((256, 2, 0), (512, 4, 2)):
+        model, cfg = _model(kv_bits=4, model_dim=md, num_heads=nh,
+                            num_kv_heads=kvh, num_layers=2, top_k=1,
+                            max_len=128)
+        params = model.init(jax.random.PRNGKey(0))
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0,
+                                    cfg.vocab_size)
+        monkeypatch.setenv("TUTEL_TPU_DECODE_ATTN", "0")
+        ref, _ = _decode_chain(model, params, tokens,
+                               model.init_cache(2))
+        monkeypatch.setenv("TUTEL_TPU_DECODE_ATTN", "1")
+        out, _ = _decode_chain(model, params, tokens,
+                               model.init_cache(2))
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_kv4_engine_end_to_end():
+    """LmDecodeEngine over the INT4 cache: prefill (chunked-parallel)
+    writes packed nibbles, chunked decode runs, histories complete."""
+    model, cfg = _model(kv_bits=4)
+    params = model.init(jax.random.PRNGKey(0))
+    eng = LmDecodeEngine(model, params, max_batch=4,
+                         moe_overrides={"capacity_factor": 8.0})
+    rng = np.random.RandomState(0)
+    reqs = [LmRequest(uid=i,
+                      prompt=rng.randint(0, cfg.vocab_size, 5
+                                         ).astype(np.int32),
+                      max_new_tokens=8) for i in range(6)]
+    out = eng.run(reqs, chunk=4)
+    assert len(out) == 6 and all(len(v) == 8 for v in out.values())
+
+
+def test_kv4_prefill_parallel_matches_decode_chain():
+    """Chunked-parallel prefill over the packed INT4 cache == the
+    token-by-token decode chain (same stored nibbles, same logits)."""
+    model, cfg = _model(kv_bits=4, num_layers=2)
+    params = model.init(jax.random.PRNGKey(0))
+    b, tp = 2, 11
+    prompts = jax.random.randint(jax.random.PRNGKey(2), (b, tp), 0,
+                                 cfg.vocab_size)
+    logits_p, cache_p = model.prefill(params, prompts,
+                                      model.init_cache(b),
+                                      parallel=True)
+    logits_s, cache_s = model.prefill(params, prompts,
+                                      model.init_cache(b),
+                                      parallel=False)
+    np.testing.assert_allclose(np.asarray(logits_p),
+                               np.asarray(logits_s),
+                               rtol=2e-4, atol=2e-4)
+    for kp, ks in zip(cache_p, cache_s):
+        np.testing.assert_array_equal(np.asarray(kp["k"])[:, :tp],
+                                      np.asarray(ks["k"])[:, :tp])
+        np.testing.assert_allclose(np.asarray(kp["k_s"])[:, :, :tp],
+                                   np.asarray(ks["k_s"])[:, :, :tp],
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_speculative_replay_from_donated_cache_is_sound():
     """The donation argument: re-running a chunk from the POST-chunk
     cache (what the replay sees after donation) must equal running it

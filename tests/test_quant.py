@@ -294,8 +294,13 @@ def test_lm_perplexity_delta_trained():
             return nls.mean()
         return float(run(params, held))
 
-    kv_delta = decode_nll(8) - decode_nll(0)
+    d0 = decode_nll(0)
+    kv_delta = decode_nll(8) - d0
     assert math.exp(max(kv_delta, 0)) < 1.05, kv_delta
+    # INT4 KV (round 4b): nibble-packed cache; wider envelope (~16x the
+    # INT8 element error) but still a small trained-model ppl budget.
+    kv4_delta = decode_nll(4) - d0
+    assert math.exp(max(kv4_delta, 0)) < 1.15, kv4_delta
 
 
 @pytest.mark.parametrize("bits", [8, 4])

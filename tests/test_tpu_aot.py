@@ -419,6 +419,32 @@ def test_seqpar_lm_compiles_for_4_hosts():
     assert spanning, "no all-to-all spans hosts on the 4-host SP mesh"
 
 
+def test_decode_attn_int4_kv_mosaic_compiles():
+    """The INT4 KV-cache variant (nibble-packed slabs, int32-domain
+    split-half unpack in VMEM, scale folding unchanged) lowers through
+    Mosaic for v5e at the LM serving size — the unpack concat on the
+    lane dim is the part interpret mode cannot validate."""
+    from tutel_tpu.ops import decode_attn_pallas as dap
+    rep = _replicated(_topology("v5e:2x4"))
+    b, nh, hd, t = 64, 8, 128, 2048
+    d = nh * hd
+    wc = dap.pick_wc(t, d, 1, nh=nh, quantized=True, kv_bits=4)
+    assert wc is not None
+
+    def f(q, k, v, ks, vs, pos):
+        return dap.decode_attn(q, k, v, pos, k_scale=ks, v_scale=vs,
+                               attn_len=t, wc=wc, kv_bits=4)
+
+    txt = jax.jit(f).lower(
+        _spec((b, nh, hd), jnp.bfloat16, rep),
+        _spec((b, t, d // 2), jnp.int8, rep),
+        _spec((b, t, d // 2), jnp.int8, rep),
+        _spec((b, nh, t), jnp.float32, rep),
+        _spec((b, nh, t), jnp.float32, rep),
+        _spec((b,), jnp.int32, rep)).compile().as_text()
+    assert "tpu_custom_call" in txt, "Mosaic kernel was not emitted"
+
+
 def test_ring_attention_lm_compiles_for_4_hosts():
     """Ring-attention SP x EP on the genuine 4-process v5e:4x4
     topology, in the layout Ulysses CANNOT run: 4 query heads on a
@@ -446,10 +472,7 @@ def test_ring_attention_lm_compiles_for_4_hosts():
     import re as _re
     crossing = False
     for ln in perms:
-        m = _re.search(r"source_target_pairs=\{([^}]*)\}", ln)
-        if not m:
-            continue
-        pairs = _re.findall(r"\{(\d+),(\d+)\}", m.group(1))
+        pairs = _re.findall(r"\{(\d+),(\d+)\}", ln)
         if any(proc_of[int(a)] != proc_of[int(b)] for a, b in pairs):
             crossing = True
     assert crossing, "no collective-permute crosses hosts on the ring"
@@ -473,8 +496,8 @@ def test_decode_attn_int8_kv_mosaic_compiles():
 
     txt = jax.jit(f).lower(
         _spec((b, nh, hd), jnp.bfloat16, rep),
-        _spec((b, t, nh, hd), jnp.int8, rep),
-        _spec((b, t, nh, hd), jnp.int8, rep),
+        _spec((b, t, d), jnp.int8, rep),      # flat production layout
+        _spec((b, t, d), jnp.int8, rep),
         _spec((b, nh, t), jnp.float32, rep),
         _spec((b, nh, t), jnp.float32, rep),
         _spec((b,), jnp.int32, rep)).compile().as_text()

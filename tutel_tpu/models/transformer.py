@@ -44,7 +44,9 @@ class TransformerMoEConfig:
     kv_bits: int = 0                   # 8 = INT8 KV cache (serving:
                                        # halves the dominant HBM cost
                                        # of decode, per-(pos, head)
-                                       # symmetric scales); 0 = dtype
+                                       # symmetric scales); 4 = INT4
+                                       # nibble-packed (quarter bytes,
+                                       # same scale layout); 0 = dtype
     num_kv_heads: int = 0              # grouped-query attention: K/V
                                        # heads (0 = num_heads, i.e.
                                        # MHA). Shrinks the KV cache
@@ -502,12 +504,29 @@ class TransformerMoE:
         cfg = self.cfg
         kvh, hd = self._kvh, cfg.model_dim // cfg.num_heads
         if cfg.kv_bits == 8:
-            z = lambda: jnp.zeros((batch, cfg.max_len, kvh, hd),
+            # FLAT [B, T, kvh*hd] slab, not [B, T, kvh, hd]: the decode
+            # kernel consumes the flat shape, and for int8 the tiled
+            # [.., kvh, hd] -> [.., kvh*hd] reshape is NOT a bitcast —
+            # profiled at 4.1 ms/step (a physical ~2 GB copy of the
+            # whole cache, over half the 2k-window serving chunk;
+            # benchmarks/profile_lm_decode.py found it)
+            z = lambda: jnp.zeros((batch, cfg.max_len, kvh * hd),
                                   jnp.int8)
             s = lambda: jnp.ones((batch, kvh, cfg.max_len), jnp.float32)
             return [{"k": z(), "v": z(), "k_s": s(), "v_s": s()}
                     for _ in range(cfg.num_layers)]
-        assert cfg.kv_bits == 0, f"kv_bits={cfg.kv_bits} (0 or 8)"
+        if cfg.kv_bits == 4:
+            # nibble-packed flat slab [B, T, kvh*hd//2]: byte column c
+            # holds value column c (low nibble) and c + D/2 (high) of
+            # the flattened [kvh*hd] row — the full-width split-half
+            # layout ops/decode_attn_pallas._unpack4_slab expects
+            assert (kvh * hd) % 2 == 0
+            z = lambda: jnp.zeros((batch, cfg.max_len, kvh * hd // 2),
+                                  jnp.int8)
+            s = lambda: jnp.ones((batch, kvh, cfg.max_len), jnp.float32)
+            return [{"k": z(), "v": z(), "k_s": s(), "v_s": s()}
+                    for _ in range(cfg.num_layers)]
+        assert cfg.kv_bits == 0, f"kv_bits={cfg.kv_bits} (0, 8 or 4)"
         z = lambda: jnp.zeros((batch, cfg.max_len, kvh, hd), cfg.dtype)
         return [{"k": z(), "v": z()} for _ in range(cfg.num_layers)]
 
@@ -519,6 +538,34 @@ class TransformerMoE:
         s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / 127.0, 1e-10)
         q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127)
         return q.astype(jnp.int8), s
+
+    @staticmethod
+    def _kv_quantize4(x):
+        """Per-(row, head) symmetric INT4, nibble-packed: x [B, kvh, hd]
+        -> (int8 packed [B, kvh*hd//2], f32 scales [B, kvh]) in the
+        full-width split-half layout (byte c = flat value c | flat
+        value c + D/2 << 4)."""
+        b = x.shape[0]
+        xf = x.astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / 7.0, 1e-10)
+        q = jnp.clip(jnp.round(xf / s[..., None]), -7, 7).astype(
+            jnp.int32).reshape(b, -1)                      # [B, D]
+        dp = q.shape[-1] // 2
+        packed = (q[:, :dp] & 0xF) | ((q[:, dp:] & 0xF) << 4)
+        return packed.astype(jnp.int8), s
+
+    @staticmethod
+    def _kv_dequant4(packed, scales, kvh, hd, read_len):
+        """Inverse of `_kv_quantize4` over a cache window: packed
+        [B, T, D/2] int8 + scales [B, kvh, T] -> [B, read_len, kvh, hd]
+        f32 (the XLA fallback / test-oracle read path)."""
+        p = packed[:, :read_len].astype(jnp.int32)
+        low = (p << 28) >> 28
+        high = p >> 4
+        flat = jnp.concatenate([low, high], axis=-1).astype(jnp.float32)
+        vals = flat.reshape(*flat.shape[:2], kvh, hd)
+        sc = scales[:, :, :read_len].transpose(0, 2, 1)[..., None]
+        return vals * sc
 
     def _attn_step(self, block, x, layer_cache, pos, attn_len=None):
         """One-token attention: x [B, d], layer_cache {"k","v"[,scales]}
@@ -539,15 +586,21 @@ class TransformerMoE:
         nh, hd = cfg.num_heads, d // cfg.num_heads
         kvh = self._kvh
         mq = nh // kvh
-        kv_q = cfg.kv_bits == 8
+        kv_q = cfg.kv_bits in (8, 4)
         qkv = jnp.einsum("bd,de->be", x, block["wqkv"],
                          preferred_element_type=jnp.float32).astype(x.dtype)
         q, k, v = self._split_qkv(qkv, (b,))
         rows = jnp.arange(b)
         cache = dict(layer_cache)
         if kv_q:
-            kq, ks = self._kv_quantize(k)
-            vq, vs = self._kv_quantize(v)
+            if cfg.kv_bits == 8:
+                # flat [B, d] rows into the flat [B, T, d] slab
+                kq, ks = self._kv_quantize(k)
+                vq, vs = self._kv_quantize(v)
+                kq, vq = kq.reshape(b, -1), vq.reshape(b, -1)
+            else:
+                kq, ks = self._kv_quantize4(k)
+                vq, vs = self._kv_quantize4(v)
             cache["k"] = cache["k"].at[rows, pos].set(kq)
             cache["v"] = cache["v"].at[rows, pos].set(vq)
             cache["k_s"] = cache["k_s"].at[rows, :, pos].set(ks)
@@ -569,7 +622,7 @@ class TransformerMoE:
             from ..ops.decode_attn_pallas import pick_wc
             itemsize = 1 if kv_q else jnp.dtype(x.dtype).itemsize
             wc = pick_wc(cfg.max_len, kvh * hd, itemsize, nh=nh,
-                         quantized=kv_q, mq=mq)
+                         quantized=kv_q, mq=mq, kv_bits=cfg.kv_bits)
             if wc is None:
                 import os
                 if os.environ.get("TUTEL_TPU_DECODE_ATTN", "") == "1":
@@ -587,13 +640,23 @@ class TransformerMoE:
                 q, ck, cv, pos, attn_len=t, wc=wc,
                 k_scale=cache["k_s"] if kv_q else None,
                 v_scale=cache["v_s"] if kv_q else None,
+                kv_bits=cfg.kv_bits,
                 interpret=(kern == "interpret"))
         else:
-            rk = ck[:, :t] if t < cfg.max_len else ck
-            rv = cv[:, :t] if t < cfg.max_len else cv
-            if kv_q:
+            if cfg.kv_bits == 4:
+                # unpack + dequantize the read window (test/CPU path;
+                # the kernel path unpacks nibbles in VMEM and folds the
+                # scales into its score/softmax tiles)
+                rk = self._kv_dequant4(ck, cache["k_s"], kvh, hd, t)
+                rv = self._kv_dequant4(cv, cache["v_s"], kvh, hd, t)
+            else:
+                rk = ck[:, :t] if t < cfg.max_len else ck
+                rv = cv[:, :t] if t < cfg.max_len else cv
+            if cfg.kv_bits == 8:
                 # dequantize the read window (test/CPU path; the kernel
                 # path folds the scales into its score/softmax tiles)
+                rk = rk.reshape(b, t, kvh, hd)
+                rv = rv.reshape(b, t, kvh, hd)
                 ks = cache["k_s"][:, :, :t].transpose(0, 2, 1)
                 vs = cache["v_s"][:, :, :t].transpose(0, 2, 1)
                 rk = rk.astype(jnp.float32) * ks[..., None]
@@ -625,16 +688,22 @@ class TransformerMoE:
         env = os.environ.get("TUTEL_TPU_DECODE_ATTN", "")
         if env == "0":
             return ""
-        # the INT8-KV kernel's scale slabs put the window on the lane
-        # dim, so the cache length must be 128-aligned there
-        t_align = 128 if self.cfg.kv_bits == 8 else 16
+        # the INT8/INT4-KV kernel's scale slabs put the window on the
+        # lane dim, so the cache length must be 128-aligned there; the
+        # INT4 packed slab additionally halves the stored lane width,
+        # which must itself stay 128-aligned
+        t_align = 128 if self.cfg.kv_bits in (8, 4) else 16
         aligned = d % 128 == 0 and self.cfg.max_len % t_align == 0
+        if self.cfg.kv_bits == 4:
+            hd = d // self.cfg.num_heads
+            aligned = aligned and (self._kvh * hd // 2) % 128 == 0
         if not aligned:
             if env == "1":
                 raise ValueError(
                     f"TUTEL_TPU_DECODE_ATTN=1 but model_dim={d} / "
                     f"max_len={self.cfg.max_len} don't satisfy the "
-                    "kernel tiling (d % 128, max_len % 16)")
+                    "kernel tiling (d % 128, max_len % 16; kv_bits=4 "
+                    "also needs a 128-aligned packed slab width)")
             return ""
         if jax.default_backend() == "tpu":
             return "native"
@@ -776,6 +845,7 @@ class TransformerMoE:
         kvh = self._kvh
         mq = nh // kvh
         kv_q = cfg.kv_bits == 8
+        kv_q4 = cfg.kv_bits == 4
         tc = max(1, min(tc, tp))
         # the padded prompt must stay inside the cache; shrink the
         # chunk until it does (tc=1 degenerates to tp_pad == tp)
@@ -810,15 +880,15 @@ class TransformerMoE:
                                  ).astype(x.dtype)
                 q, k, v = self._split_qkv(qkv, (b, tc))
                 lc = dict(cache[i])
-                if kv_q:
-                    kq, ks = self._kv_quantize(
+                if kv_q4:
+                    kq, ks = self._kv_quantize4(
                         k.reshape(b * tc, kvh, hd))
-                    vq, vs = self._kv_quantize(
+                    vq, vs = self._kv_quantize4(
                         v.reshape(b * tc, kvh, hd))
                     lc["k"] = dus(lc["k"],
-                                  kq.reshape(b, tc, kvh, hd), start, 1)
+                                  kq.reshape(b, tc, -1), start, 1)
                     lc["v"] = dus(lc["v"],
-                                  vq.reshape(b, tc, kvh, hd), start, 1)
+                                  vq.reshape(b, tc, -1), start, 1)
                     lc["k_s"] = dus(
                         lc["k_s"],
                         ks.reshape(b, tc, kvh).transpose(0, 2, 1),
@@ -829,10 +899,37 @@ class TransformerMoE:
                         start, 2)
                     # attend THROUGH the dequantized stored values, so
                     # prefill logits match the chained-decode numerics
-                    rk = (lc["k"][:, :read_len].astype(jnp.float32)
+                    rk = self._kv_dequant4(
+                        lc["k"], lc["k_s"], kvh, hd,
+                        read_len).astype(x.dtype)
+                    rv = self._kv_dequant4(
+                        lc["v"], lc["v_s"], kvh, hd,
+                        read_len).astype(x.dtype)
+                elif kv_q:
+                    kq, ks = self._kv_quantize(
+                        k.reshape(b * tc, kvh, hd))
+                    vq, vs = self._kv_quantize(
+                        v.reshape(b * tc, kvh, hd))
+                    lc["k"] = dus(lc["k"],
+                                  kq.reshape(b, tc, kvh * hd), start, 1)
+                    lc["v"] = dus(lc["v"],
+                                  vq.reshape(b, tc, kvh * hd), start, 1)
+                    lc["k_s"] = dus(
+                        lc["k_s"],
+                        ks.reshape(b, tc, kvh).transpose(0, 2, 1),
+                        start, 2)
+                    lc["v_s"] = dus(
+                        lc["v_s"],
+                        vs.reshape(b, tc, kvh).transpose(0, 2, 1),
+                        start, 2)
+                    # attend THROUGH the dequantized stored values, so
+                    # prefill logits match the chained-decode numerics
+                    rk = (lc["k"][:, :read_len].reshape(
+                        b, read_len, kvh, hd).astype(jnp.float32)
                           * lc["k_s"][:, :, :read_len].transpose(
                               0, 2, 1)[..., None]).astype(x.dtype)
-                    rv = (lc["v"][:, :read_len].astype(jnp.float32)
+                    rv = (lc["v"][:, :read_len].reshape(
+                        b, read_len, kvh, hd).astype(jnp.float32)
                           * lc["v_s"][:, :, :read_len].transpose(
                               0, 2, 1)[..., None]).astype(x.dtype)
                 else:

@@ -40,9 +40,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _unpack4_slab(packed, compute_t):
+    """[wc, D/2] int8 split-half-packed -> [wc, D] compute_t.
+
+    Full-width split-half convention (the KV analogue of ops/quant.py's
+    weight packing): byte column c holds logical value column c in its
+    LOW nibble and column c + D/2 in its HIGH nibble, so the unpack is
+    one lane-dim concat — no interleave relayout. The nibble shifts run
+    in the int32 domain (Mosaic rejects i8/i16 shifts; values are
+    exact in bf16 up to +-7)."""
+    v = packed.astype(jnp.int32)
+    low = (v << 28) >> 28                                  # sign-extend
+    high = v >> 4
+    return jnp.concatenate([low, high], axis=-1).astype(compute_t)
+
+
 def _decode_attn_kernel(pos_ref, qbd_ref, k_ref, v_ref, *rest, wc,
                         n_chunks, nh, hd, mq, scale, out_dtype,
-                        quantized):
+                        quantized, pack4):
     if quantized:
         ks_ref, vs_ref, o_ref, acc_ref, m_ref, z_ref = rest
     else:
@@ -61,15 +76,21 @@ def _decode_attn_kernel(pos_ref, qbd_ref, k_ref, v_ref, *rest, wc,
     t_iota = jax.lax.broadcasted_iota(jnp.int32, (nh, wc), 1) + j * wc
     live = t_iota <= p
 
-    # INT8 KV dequant rides the block-diagonal structure for free:
+    # INT8/INT4 KV dequant rides the block-diagonal structure for free:
     # score row h only touches head h's columns, so the per-(pos, head)
     # K scale factors out of the dot as an elementwise [nh, wc] multiply
     # on the score tile; likewise the V scale folds into the softmax
     # weights e BEFORE the combine dot (columns of other heads get the
     # wrong scale, but the final block-diagonal select discards them).
-    # The int8 slab is cast in VMEM (int8 is exact in bf16 up to 127).
+    # The int8 slab is cast in VMEM (int8 is exact in bf16 up to 127);
+    # the int4 slab additionally unpacks nibbles first (_unpack4_slab).
     compute_t = qbd_ref.dtype if quantized else k_ref.dtype
-    kslab = k_ref[0].astype(compute_t) if quantized else k_ref[0]
+    if pack4:
+        kslab = _unpack4_slab(k_ref[0], compute_t)
+    elif quantized:
+        kslab = k_ref[0].astype(compute_t)
+    else:
+        kslab = k_ref[0]
 
     # scores [nh, wc] = block-diag(q) . K-slab^T, f32 on the MXU.
     # GQA (mq = nh/kvh query heads per KV group, group of head h =
@@ -99,7 +120,12 @@ def _decode_attn_kernel(pos_ref, qbd_ref, k_ref, v_ref, *rest, wc,
         ev = e * (jnp.tile(vs, (mq, 1)) if mq > 1 else vs)
     else:
         ev = e
-    vslab = v_ref[0].astype(compute_t) if quantized else v_ref[0]
+    if pack4:
+        vslab = _unpack4_slab(v_ref[0], compute_t)
+    elif quantized:
+        vslab = v_ref[0].astype(compute_t)
+    else:
+        vslab = v_ref[0]
     d = jax.lax.dot_general(
         ev.astype(compute_t), vslab, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)               # [nh, Dkv]
@@ -124,7 +150,7 @@ def _decode_attn_kernel(pos_ref, qbd_ref, k_ref, v_ref, *rest, wc,
 
 
 def decode_attn(q, k, v, pos, *, k_scale=None, v_scale=None,
-                attn_len=None, wc=512, interpret=False):
+                attn_len=None, wc=512, kv_bits=8, interpret=False):
     """One-token attention over the first `attn_len` cache positions.
 
     out[b, nh] = softmax_t(q[b, nh] . k[b, t, nh] / sqrt(hd)
@@ -132,31 +158,51 @@ def decode_attn(q, k, v, pos, *, k_scale=None, v_scale=None,
 
     Args:
       q: [B, NH, HD].
-      k, v: [B, T, KVH, HD] KV cache — KVH == NH (MHA) or a divisor of
-        NH (grouped-query attention: query head h reads group
-        h % KVH). Float, or int8 when k_scale / v_scale are given (the
-        INT8 KV-cache serving mode: wire/HBM bytes halve; dequant is
-        an elementwise multiply on the score / softmax tiles, see the
-        kernel comment).
+      k, v: the KV cache — [B, T, KVH, HD] (KVH == NH for MHA, a
+        divisor of NH for grouped-query attention: query head h reads
+        group h % KVH) in float, or int8 when k_scale / v_scale are
+        given; with kv_bits=4 the cache is nibble-PACKED
+        [B, T, KVH*HD//2] int8 in the full-width split-half layout
+        (byte column c = value c low nibble | value c + D/2 high; see
+        `_unpack4_slab`). Quantized modes halve / quarter the decode
+        HBM bytes; dequant is an elementwise multiply on the
+        score / softmax tiles (see the kernel comment).
       k_scale, v_scale: [B, KVH, T] f32 per-(head, position) symmetric
-        scales for int8 k/v, or None for a float cache.
+        scales for quantized k/v, or None for a float cache.
       pos: [B] int32; positions t > pos[b] are masked out.
       attn_len: static read bound (None = T). Exact whenever every
         row's pos < attn_len. Rounded up to a multiple of 16.
       wc: window chunk (VMEM slab length).
+      kv_bits: 8 or 4 — quantized cache width (only read when scales
+        are given).
     Returns:
       [B, NH, HD] in q.dtype.
     """
     bsz, nh, hd = q.shape
-    _, t, kvh, hd2 = k.shape
-    assert hd == hd2 and nh % kvh == 0, (q.shape, k.shape)
-    mq = nh // kvh
     quantized = k_scale is not None
+    pack4 = quantized and kv_bits == 4
+    if pack4:
+        _, t, dp = k.shape
+        kvh = k_scale.shape[1]
+        assert dp * 2 == kvh * hd, (k.shape, k_scale.shape, q.shape)
+    elif quantized and k.ndim == 3:
+        # flat int8 slab [B, T, KVH*HD] — the production cache layout
+        # (a tiled int8 [.., KVH, HD] -> [.., KVH*HD] reshape is a
+        # physical copy on TPU, so the cache stores the flat form)
+        _, t, dflat = k.shape
+        kvh = k_scale.shape[1]
+        assert dflat == kvh * hd, (k.shape, k_scale.shape, q.shape)
+    else:
+        _, t, kvh, hd2 = k.shape
+        assert hd == hd2, (q.shape, k.shape)
+    assert nh % kvh == 0, (q.shape, kvh)
+    mq = nh // kvh
     if quantized:
         assert v_scale is not None and k.dtype == jnp.int8, (
             k.dtype, v_scale)
         assert k_scale.shape == (bsz, kvh, t), (k_scale.shape, k.shape)
     d = kvh * hd                 # K/V slab width (== nh*hd when MHA)
+    dk = d // 2 if pack4 else d  # stored slab width (packed bytes)
     d_out = nh * hd
     # the quantized kernel's scale slabs are [nh, wc] blocks whose LAST
     # dim is wc — Mosaic requires lane dims be multiples of 128, so the
@@ -186,17 +232,18 @@ def decode_attn(q, k, v, pos, *, k_scale=None, v_scale=None,
           == (jnp.arange(nh) % kvh)[:, None]).astype(q.dtype)
     qbd = (go[None, :, :, None] * q[:, :, None, :]).reshape(bsz, nh, d)
 
-    kf = k.reshape(bsz, t, d)
-    vf = v.reshape(bsz, t, d)
+    kf = k.reshape(bsz, t, dk)
+    vf = v.reshape(bsz, t, dk)
     scale = hd ** -0.5
 
     kernel = functools.partial(
         _decode_attn_kernel, wc=wc, n_chunks=n_chunks, nh=nh, hd=hd,
-        mq=mq, scale=scale, out_dtype=q.dtype, quantized=quantized)
+        mq=mq, scale=scale, out_dtype=q.dtype, quantized=quantized,
+        pack4=pack4)
     in_specs = [
         pl.BlockSpec((1, nh, d), lambda b, j, pos: (b, 0, 0)),
-        pl.BlockSpec((1, wc, d), lambda b, j, pos: (b, j, 0)),
-        pl.BlockSpec((1, wc, d), lambda b, j, pos: (b, j, 0)),
+        pl.BlockSpec((1, wc, dk), lambda b, j, pos: (b, j, 0)),
+        pl.BlockSpec((1, wc, dk), lambda b, j, pos: (b, j, 0)),
     ]
     args = [pos.astype(jnp.int32), qbd, kf, vf]
     if quantized:
@@ -222,7 +269,7 @@ def decode_attn(q, k, v, pos, *, k_scale=None, v_scale=None,
         out_shape=jax.ShapeDtypeStruct((bsz, 1, d_out), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * bsz * w * d,
-            bytes_accessed=2 * bsz * w * d * k.dtype.itemsize,
+            bytes_accessed=2 * bsz * w * dk * k.dtype.itemsize,
             transcendentals=bsz * w * nh),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
@@ -232,17 +279,24 @@ def decode_attn(q, k, v, pos, *, k_scale=None, v_scale=None,
 
 
 def vmem_bytes_decode_attn(t, d, itemsize, wc=512, nh=1,
-                           quantized=False, mq=1):
+                           quantized=False, mq=1, kv_bits=8):
     """VMEM footprint estimate: double-buffered K+V slabs (the dominant
     term) + the f32 accumulator scratch [nh, d] + the qbd input block
-    and output block. `quantized` adds the f32 scale slabs of the INT8
-    KV mode (itemsize should then be 1). `d` is the K/V slab width
-    (kvh*hd under GQA); `mq` = nh/kvh (output width is mq*d)."""
+    and output block. `quantized` adds the f32 scale slabs of the
+    INT8/INT4 KV modes (itemsize should then be 1); kv_bits=4 halves
+    the stored slab but adds the int32 + bf16 nibble-unpack
+    temporaries. `d` is the K/V slab width (kvh*hd under GQA);
+    `mq` = nh/kvh (output width is mq*d)."""
     wc = min(wc, t)
     kvh = max(nh // max(mq, 1), 1)
-    slabs = 2 * 2 * wc * d * itemsize          # K + V, double-buffered
+    pack4 = quantized and kv_bits == 4
+    stored = d // 2 if pack4 else d
+    slabs = 2 * 2 * wc * stored * itemsize     # K + V, double-buffered
     if quantized:
         slabs += 2 * 2 * wc * kvh * 4          # k/v scale slabs (f32)
+    if pack4:
+        # int32 low/high halves + the concatenated bf16 slab, K and V
+        slabs += 2 * (wc * d * 4 + wc * d * 2)
     scratch = nh * d * 4 + 2 * nh * 4          # acc + m + z (f32)
     qio = 2 if quantized else itemsize         # qbd stays in q.dtype
     io = 2 * nh * d * qio + mq * d * qio       # qbd (dbl-buf) + out
@@ -256,14 +310,18 @@ VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
 
 def pick_wc(t, d, itemsize, nh=1, budget=VMEM_BUDGET_BYTES,
-            quantized=False, mq=1):
+            quantized=False, mq=1, kv_bits=8):
     """Largest window chunk whose kernel fits the VMEM budget, or None
     when even the minimum chunk (16) does not fit — the caller must
     then take the XLA windowed-attention path. Mirrors the fused-FFN
     ladder pattern: shrink the streamed slab under VMEM pressure
     instead of failing to compile at large model_dim."""
+    floor = 128 if quantized else 16       # scale slabs lane-align 128
     for wc in (512, 256, 128, 64, 32, 16):
+        if wc < floor:
+            break
         if vmem_bytes_decode_attn(t, d, itemsize, wc=wc, nh=nh,
-                                  quantized=quantized, mq=mq) <= budget:
+                                  quantized=quantized, mq=mq,
+                                  kv_bits=kv_bits) <= budget:
             return wc
     return None
