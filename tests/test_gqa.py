@@ -32,11 +32,13 @@ def _model(**kw):
 
 
 def test_gqa_cache_shrinks():
+    # flat [B, T, kvh*hd] kernel-layout slabs (see init_cache): GQA
+    # stores kvh/nh of the MHA bytes
     model, cfg = _model(num_heads=8, num_kv_heads=2, model_dim=64)
     cache = model.init_cache(2)
-    assert cache[0]["k"].shape == (2, cfg.max_len, 2, 8)
+    assert cache[0]["k"].shape == (2, cfg.max_len, 2 * 8)
     mha, _ = _model(num_heads=8, num_kv_heads=0, model_dim=64)
-    assert mha.init_cache(2)[0]["k"].shape == (2, cfg.max_len, 8, 8)
+    assert mha.init_cache(2)[0]["k"].shape == (2, cfg.max_len, 8 * 8)
 
 
 def test_gqa_decode_matches_full_apply():

@@ -180,8 +180,8 @@ def test_decode_attn_mosaic_compiles(d, nh, t, dtype):
 
     txt = jax.jit(f).lower(
         _spec((b, nh, hd), dtype, rep),
-        _spec((b, t, nh, hd), dtype, rep),
-        _spec((b, t, nh, hd), dtype, rep),
+        _spec((b, t, d), dtype, rep),      # flat production layout
+        _spec((b, t, d), dtype, rep),
         _spec((b,), jnp.int32, rep)).compile().as_text()
     assert "tpu_custom_call" in txt, "Mosaic kernel was not emitted"
 

@@ -494,7 +494,15 @@ class TransformerMoE:
     # ------------------------------------------------------------------
 
     def init_cache(self, batch: int):
-        """Per-block KV cache for incremental decode: [B, max_len, nh, hd].
+        """Per-block KV cache for incremental decode, stored FLAT
+        [B, max_len, kvh*hd] — the exact layout the flash-decode
+        kernel consumes. A tiled [.., kvh, hd] -> [.., kvh*hd]
+        reshape is NOT a bitcast on TPU: storing the cache 4D cost a
+        physical whole-cache copy per decode step (4.1 ms on the ~2 GB
+        int8 cache at the 2k-window serving config;
+        benchmarks/profile_lm_decode.py found it), so every dtype
+        stores kernel-shaped and the XLA fallback un-flattens only its
+        read window.
 
         kv_bits=8 stores int8 values + per-(head, position) f32 scales
         ("k_s"/"v_s" [B, nh, max_len]) — the KV read is the measured
@@ -504,12 +512,6 @@ class TransformerMoE:
         cfg = self.cfg
         kvh, hd = self._kvh, cfg.model_dim // cfg.num_heads
         if cfg.kv_bits == 8:
-            # FLAT [B, T, kvh*hd] slab, not [B, T, kvh, hd]: the decode
-            # kernel consumes the flat shape, and for int8 the tiled
-            # [.., kvh, hd] -> [.., kvh*hd] reshape is NOT a bitcast —
-            # profiled at 4.1 ms/step (a physical ~2 GB copy of the
-            # whole cache, over half the 2k-window serving chunk;
-            # benchmarks/profile_lm_decode.py found it)
             z = lambda: jnp.zeros((batch, cfg.max_len, kvh * hd),
                                   jnp.int8)
             s = lambda: jnp.ones((batch, kvh, cfg.max_len), jnp.float32)
@@ -527,7 +529,7 @@ class TransformerMoE:
             return [{"k": z(), "v": z(), "k_s": s(), "v_s": s()}
                     for _ in range(cfg.num_layers)]
         assert cfg.kv_bits == 0, f"kv_bits={cfg.kv_bits} (0, 8 or 4)"
-        z = lambda: jnp.zeros((batch, cfg.max_len, kvh, hd), cfg.dtype)
+        z = lambda: jnp.zeros((batch, cfg.max_len, kvh * hd), cfg.dtype)
         return [{"k": z(), "v": z()} for _ in range(cfg.num_layers)]
 
     @staticmethod
@@ -569,7 +571,8 @@ class TransformerMoE:
 
     def _attn_step(self, block, x, layer_cache, pos, attn_len=None):
         """One-token attention: x [B, d], layer_cache {"k","v"[,scales]}
-        ([B, T, nh, hd] values), pos [B]. Returns (out, new layer_cache).
+        (flat [B, T, kvh*hd] slabs — see init_cache), pos [B]. Returns
+        (out, new layer_cache).
 
         attn_len (static) bounds the cache READ to the first attn_len
         positions — EXACT whenever every row's pos < attn_len, because
@@ -606,8 +609,9 @@ class TransformerMoE:
             cache["k_s"] = cache["k_s"].at[rows, :, pos].set(ks)
             cache["v_s"] = cache["v_s"].at[rows, :, pos].set(vs)
         else:
-            cache["k"] = cache["k"].at[rows, pos].set(k)
-            cache["v"] = cache["v"].at[rows, pos].set(v)
+            # flat [B, d] rows into the flat [B, T, d] slab
+            cache["k"] = cache["k"].at[rows, pos].set(k.reshape(b, -1))
+            cache["v"] = cache["v"].at[rows, pos].set(v.reshape(b, -1))
         ck, cv = cache["k"], cache["v"]
         t = cfg.max_len if attn_len is None else min(int(attn_len),
                                                      cfg.max_len)
@@ -650,13 +654,13 @@ class TransformerMoE:
                 rk = self._kv_dequant4(ck, cache["k_s"], kvh, hd, t)
                 rv = self._kv_dequant4(cv, cache["v_s"], kvh, hd, t)
             else:
-                rk = ck[:, :t] if t < cfg.max_len else ck
-                rv = cv[:, :t] if t < cfg.max_len else cv
+                # un-flatten only the read window (test/CPU path; the
+                # kernel consumes the stored flat layout directly)
+                rk = ck[:, :t].reshape(b, t, kvh, hd)
+                rv = cv[:, :t].reshape(b, t, kvh, hd)
             if cfg.kv_bits == 8:
                 # dequantize the read window (test/CPU path; the kernel
                 # path folds the scales into its score/softmax tiles)
-                rk = rk.reshape(b, t, kvh, hd)
-                rv = rv.reshape(b, t, kvh, hd)
                 ks = cache["k_s"][:, :, :t].transpose(0, 2, 1)
                 vs = cache["v_s"][:, :, :t].transpose(0, 2, 1)
                 rk = rk.astype(jnp.float32) * ks[..., None]
@@ -933,10 +937,14 @@ class TransformerMoE:
                           * lc["v_s"][:, :, :read_len].transpose(
                               0, 2, 1)[..., None]).astype(x.dtype)
                 else:
-                    lc["k"] = dus(lc["k"], k, start, 1)
-                    lc["v"] = dus(lc["v"], v, start, 1)
-                    rk = lc["k"][:, :read_len]
-                    rv = lc["v"][:, :read_len]
+                    lc["k"] = dus(lc["k"], k.reshape(b, tc, kvh * hd),
+                                  start, 1)
+                    lc["v"] = dus(lc["v"], v.reshape(b, tc, kvh * hd),
+                                  start, 1)
+                    rk = lc["k"][:, :read_len].reshape(
+                        b, read_len, kvh, hd)
+                    rv = lc["v"][:, :read_len].reshape(
+                        b, read_len, kvh, hd)
                 new_cache.append(lc)
                 qg = q.reshape(b, tc, mq, kvh, hd)
                 scores = jnp.einsum("bqmgd,bkgd->bmgqk", qg, rk,

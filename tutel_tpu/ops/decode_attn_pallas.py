@@ -158,9 +158,10 @@ def decode_attn(q, k, v, pos, *, k_scale=None, v_scale=None,
 
     Args:
       q: [B, NH, HD].
-      k, v: the KV cache — [B, T, KVH, HD] (KVH == NH for MHA, a
-        divisor of NH for grouped-query attention: query head h reads
-        group h % KVH) in float, or int8 when k_scale / v_scale are
+      k, v: the KV cache — [B, T, KVH, HD] or flat [B, T, KVH*HD]
+        (the production layout; KVH == NH for MHA, a divisor of NH
+        for grouped-query attention: query head h reads group
+        h % KVH) in float, or int8 when k_scale / v_scale are
         given; with kv_bits=4 the cache is nibble-PACKED
         [B, T, KVH*HD//2] int8 in the full-width split-half layout
         (byte column c = value c low nibble | value c + D/2 high; see
@@ -185,13 +186,13 @@ def decode_attn(q, k, v, pos, *, k_scale=None, v_scale=None,
         _, t, dp = k.shape
         kvh = k_scale.shape[1]
         assert dp * 2 == kvh * hd, (k.shape, k_scale.shape, q.shape)
-    elif quantized and k.ndim == 3:
-        # flat int8 slab [B, T, KVH*HD] — the production cache layout
-        # (a tiled int8 [.., KVH, HD] -> [.., KVH*HD] reshape is a
-        # physical copy on TPU, so the cache stores the flat form)
+    elif k.ndim == 3:
+        # flat slab [B, T, KVH*HD] — the production cache layout for
+        # EVERY dtype (a tiled [.., KVH, HD] -> [.., KVH*HD] reshape
+        # is a physical copy on TPU, so the cache stores the flat form)
         _, t, dflat = k.shape
-        kvh = k_scale.shape[1]
-        assert dflat == kvh * hd, (k.shape, k_scale.shape, q.shape)
+        kvh = k_scale.shape[1] if quantized else dflat // hd
+        assert dflat == kvh * hd, (k.shape, q.shape)
     else:
         _, t, kvh, hd2 = k.shape
         assert hd == hd2, (q.shape, k.shape)
