@@ -419,6 +419,32 @@ def test_seqpar_lm_compiles_for_4_hosts():
     assert spanning, "no all-to-all spans hosts on the 4-host SP mesh"
 
 
+def test_kv_write_step_mosaic_compiles():
+    """The fused RMW cache-write kernel (ops/kv_write_pallas) lowers
+    through Mosaic for v5e at the LM serving sizes for every cache
+    dtype it serves: int8 values + f32 scale columns (kv8), the
+    half-width packed slab (kv4), and bf16 rows — with the caches
+    donated so the aliasing survives to the executable."""
+    from tutel_tpu.ops.kv_write_pallas import write_step
+    rep = _replicated(_topology("v5e:2x4"))
+    b, t, d, h = 64, 2048, 1024, 8
+
+    def f(ck, cv, ks, vs, nk, nv, nks, nvs, pos):
+        return write_step([ck, cv], [nk, nv], pos,
+                          col_caches=[ks, vs], cols=[nks, nvs])
+
+    for dt, dd in ((jnp.int8, d), (jnp.bfloat16, d), (jnp.int8, d // 2)):
+        txt = jax.jit(f, donate_argnums=(0, 1, 2, 3)).lower(
+            _spec((b, t, dd), dt, rep), _spec((b, t, dd), dt, rep),
+            _spec((b, h, t), jnp.float32, rep),
+            _spec((b, h, t), jnp.float32, rep),
+            _spec((b, dd), dt, rep), _spec((b, dd), dt, rep),
+            _spec((b, h), jnp.float32, rep),
+            _spec((b, h), jnp.float32, rep),
+            _spec((b,), jnp.int32, rep)).compile().as_text()
+        assert "tpu_custom_call" in txt, "Mosaic kernel was not emitted"
+
+
 def test_decode_attn_int4_kv_mosaic_compiles():
     """The INT4 KV-cache variant (nibble-packed slabs, int32-domain
     split-half unpack in VMEM, scale folding unchanged) lowers through

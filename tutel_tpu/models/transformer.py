@@ -593,8 +593,50 @@ class TransformerMoE:
         qkv = jnp.einsum("bd,de->be", x, block["wqkv"],
                          preferred_element_type=jnp.float32).astype(x.dtype)
         q, k, v = self._split_qkv(qkv, (b,))
+        import os as _os
         rows = jnp.arange(b)
         cache = dict(layer_cache)
+        kern = self._attn_kernel_mode(d)
+        _skip = _os.environ.get("TUTEL_TPU_SKIP_KV_WRITE", "")
+        skip_vals = _skip in ("1", "vals")       # PROFILING ONLY:
+        skip_scales = _skip in ("1", "scales")
+        # attribute the cache-write cost of a decode step by measuring
+        # with the writes elided (numerics are garbage — never use
+        # outside a perf experiment; see benchmarks/bench_cache_write.py)
+
+        def write_kv(kq, vq, scales=None):
+            # QUANTIZED caches write through ONE fused Pallas RMW
+            # kernel per layer: the lane-dim SCALE scatter
+            # (`.at[rows, :, pos]` — position on the lane dim) is what
+            # XLA lowers catastrophically (18.8 of the 53.9 ms kv8
+            # decode chunk at the 2k serving config; the row-granular
+            # value scatters are ~1 ms and the float path keeps them —
+            # the kernel measured slightly WORSE than XLA there).
+            # See ops/kv_write_pallas.py and docs/RESULTS.md round-4b.
+            if kern and scales is not None and not (skip_vals
+                                                    or skip_scales):
+                from ..ops.kv_write_pallas import write_step
+                ks_, vs_ = (scales if scales is not None
+                            else (None, None))
+                rc, cc = write_step(
+                    [cache["k"], cache["v"]], [kq, vq], pos,
+                    col_caches=([cache["k_s"], cache["v_s"]]
+                                if scales is not None else ()),
+                    cols=([ks_, vs_] if scales is not None else ()),
+                    interpret=(kern == "interpret"))
+                cache["k"], cache["v"] = rc
+                if scales is not None:
+                    cache["k_s"], cache["v_s"] = cc
+                return
+            if not skip_vals:
+                cache["k"] = cache["k"].at[rows, pos].set(kq)
+                cache["v"] = cache["v"].at[rows, pos].set(vq)
+            if scales is not None and not skip_scales:
+                cache["k_s"] = cache["k_s"].at[rows, :, pos].set(
+                    scales[0])
+                cache["v_s"] = cache["v_s"].at[rows, :, pos].set(
+                    scales[1])
+
         if kv_q:
             if cfg.kv_bits == 8:
                 # flat [B, d] rows into the flat [B, T, d] slab
@@ -604,18 +646,13 @@ class TransformerMoE:
             else:
                 kq, ks = self._kv_quantize4(k)
                 vq, vs = self._kv_quantize4(v)
-            cache["k"] = cache["k"].at[rows, pos].set(kq)
-            cache["v"] = cache["v"].at[rows, pos].set(vq)
-            cache["k_s"] = cache["k_s"].at[rows, :, pos].set(ks)
-            cache["v_s"] = cache["v_s"].at[rows, :, pos].set(vs)
+            write_kv(kq, vq, scales=(ks, vs))
         else:
             # flat [B, d] rows into the flat [B, T, d] slab
-            cache["k"] = cache["k"].at[rows, pos].set(k.reshape(b, -1))
-            cache["v"] = cache["v"].at[rows, pos].set(v.reshape(b, -1))
+            write_kv(k.reshape(b, -1), v.reshape(b, -1))
         ck, cv = cache["k"], cache["v"]
         t = cfg.max_len if attn_len is None else min(int(attn_len),
                                                      cfg.max_len)
-        kern = self._attn_kernel_mode(d)
         wc = None
         if kern:
             # VMEM guard: shrink the streamed K/V slab under pressure

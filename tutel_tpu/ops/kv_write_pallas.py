@@ -1,0 +1,172 @@
+"""Fused KV-cache row writer: one kernel per decode step, not 4L scatters.
+
+The decode step writes one row (position pos[b], per batch row b) into
+each layer's K and V cache — tiny data (~64 KB per tensor) — but the
+XLA scatter lowering of `.at[rows, pos].set` measured ~20 ms of the
+53.9 ms kv8 decode chunk at the 2k-window serving config (37% of the
+chunk for 0.006% of its bytes; docs/RESULTS.md round-4b,
+benchmarks/bench_cache_write.py isolates the pattern). This kernel
+replaces a step's writes with one pallas_call over grid (B,).
+
+Mosaic cannot express a 1-row dynamic slice of a tiled memref (row
+granularity breaks the (sublane, lane) tiling), so the kernel is a
+read-modify-write at the smallest tile-aligned window: DMA the 8-row
+window containing pos[b] into VMEM scratch, select the fresh row in
+at sublane pos[b] % 8 (one VPU select), DMA the window back. Scale
+columns ([B, kvh, T] with the position on the LANE dim) ride the same
+kernel with a 128-lane window. Per step that is 2 small DMAs per
+(tensor, row) — ~8 KB value / ~4 KB scale traffic each — instead of a
+scatter op per tensor; `input_output_aliases` keeps every cache in
+place, and blocks not visited are untouched HBM.
+
+The fresh rows enter as [B, 1, D] auto-blocked VMEM inputs (a (1, D)
+block equals the trailing array dims, the one block shape Mosaic
+allows at row granularity), so Mosaic double-buffers them across grid
+steps; only the cache windows are manual DMAs.
+
+Capability analogue: the reference's decode path updates its caches
+inside its fused CUDA kernels (reference tutel/custom/custom_kernel.cpp
+forward dispatchers); re-designed here as a Mosaic RMW-window kernel.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_WROW = 8     # row-window: multiple of every sublane tile (f32/bf16 8,
+              # int8 4 at the HBM tiling Mosaic assigns)
+_WCOL = 128   # lane-window: lane tiles are always 128
+
+
+def _rmw_kernel(pos_ref, *refs, n_r, n_c):
+    # operand layout (after the scalar-prefetched pos):
+    #   inputs:  n_r row-caches [B,T,D] (HBM, aliased, read via DMA),
+    #            n_c col-caches [B,H,T] (HBM, aliased, read via DMA),
+    #            n_r fresh rows [B,1,D] (VMEM blocks (1,1,D)),
+    #            n_c fresh cols [B,H,1] (VMEM blocks (1,H,1))
+    #   outputs: n_r + n_c caches (HBM, same buffers)
+    #   scratch: per-tensor VMEM windows + one DMA semaphore each
+    n = n_r + n_c
+    caches = refs[:n]
+    fresh = refs[n:2 * n]
+    outs = refs[2 * n:3 * n]
+    scratch = refs[3 * n:4 * n]
+    sems = refs[4 * n:]
+    bi = pl.program_id(0)
+    p = pos_ref[bi]
+
+    def row_read(i):
+        w0 = (p // _WROW) * _WROW
+        return pltpu.make_async_copy(
+            caches[i].at[bi, pl.ds(w0, _WROW)], scratch[i], sems[i])
+
+    def row_write(i):
+        w0 = (p // _WROW) * _WROW
+        return pltpu.make_async_copy(
+            scratch[i], outs[i].at[bi, pl.ds(w0, _WROW)], sems[i])
+
+    def col_read(i):
+        w0 = (p // _WCOL) * _WCOL
+        return pltpu.make_async_copy(
+            caches[i].at[bi, slice(None), pl.ds(w0, _WCOL)],
+            scratch[i], sems[i])
+
+    def col_write(i):
+        w0 = (p // _WCOL) * _WCOL
+        return pltpu.make_async_copy(
+            scratch[i], outs[i].at[bi, slice(None), pl.ds(w0, _WCOL)],
+            sems[i])
+
+    reads = [row_read(i) for i in range(n_r)] + \
+            [col_read(n_r + i) for i in range(n_c)]
+    for cp in reads:
+        cp.start()
+    for cp in reads:
+        cp.wait()
+
+    # select the fresh row / column into the window (VPU)
+    for i in range(n_r):
+        r = p - (p // _WROW) * _WROW
+        hit = jax.lax.broadcasted_iota(
+            jnp.int32, scratch[i].shape, 0) == r
+        scratch[i][...] = jnp.where(hit, fresh[i][0], scratch[i][...])
+    for j in range(n_c):
+        i = n_r + j
+        r = p - (p // _WCOL) * _WCOL
+        hit = jax.lax.broadcasted_iota(
+            jnp.int32, scratch[i].shape, 1) == r
+        # fresh col enters as a [B, H, 1] array so its (1, H, 1) block
+        # loads as [H, 1] — already sublane-major, no relayout
+        scratch[i][...] = jnp.where(hit, fresh[i][0], scratch[i][...])
+
+    writes = [row_write(i) for i in range(n_r)] + \
+             [col_write(n_r + i) for i in range(n_c)]
+    for cp in writes:
+        cp.start()
+    for cp in writes:
+        cp.wait()
+
+
+def write_step(row_caches, rows, pos, col_caches=(), cols=(), *,
+               interpret=False):
+    """One decode step's cache writes, fused into a single kernel.
+
+    row_caches[i][b, pos[b], :] = rows[i][b]   ([B, T, D_i] caches)
+    col_caches[j][b, :, pos[b]] = cols[j][b]   ([B, H_j, T] caches)
+
+    D_i must be lane-aligned (128 x itemsize-granular windows); T must
+    be a multiple of 128 (the lane window of the column caches — the
+    same bound the quantized decode-attn kernel already imposes).
+    Returns (new_row_caches, new_col_caches); buffers are aliased so a
+    donating jit updates every cache in place.
+    """
+    row_caches, rows = list(row_caches), list(rows)
+    col_caches, cols = list(col_caches), list(cols)
+    n_r, n_c = len(row_caches), len(col_caches)
+    assert n_r == len(rows) and n_c == len(cols)
+    assert n_r + n_c > 0
+    b = (row_caches[0] if n_r else col_caches[0]).shape[0]
+    for c, r in zip(row_caches, rows):
+        assert c.ndim == 3 and c.shape[0] == b, c.shape
+        assert c.shape[1] % _WROW == 0, c.shape
+        assert r.shape == (b, c.shape[2]) and r.dtype == c.dtype, (
+            r.shape, c.shape, r.dtype, c.dtype)
+    for c, s in zip(col_caches, cols):
+        assert c.ndim == 3 and c.shape[0] == b, c.shape
+        assert c.shape[2] % _WCOL == 0, c.shape
+        assert s.shape == (b, c.shape[1]) and s.dtype == c.dtype, (
+            s.shape, c.shape, s.dtype, c.dtype)
+
+    kernel = functools.partial(_rmw_kernel, n_r=n_r, n_c=n_c)
+    caches = row_caches + col_caches
+    fresh = ([r[:, None, :] for r in rows]
+             + [s[:, :, None] for s in cols])
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.ANY) for _ in caches]
+        + [pl.BlockSpec((1,) + f.shape[1:],
+                        lambda bi, pos: (bi, 0, 0)) for f in fresh]
+    )
+    out_specs = [pl.BlockSpec(memory_space=pltpu.ANY) for _ in caches]
+    out_shapes = [jax.ShapeDtypeStruct(c.shape, c.dtype) for c in caches]
+    scratch = (
+        [pltpu.VMEM((_WROW, c.shape[2]), c.dtype) for c in row_caches]
+        + [pltpu.VMEM((c.shape[1], _WCOL), c.dtype)
+           for c in col_caches]
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch + [pltpu.SemaphoreType.DMA] * len(caches),
+        ),
+        out_shape=out_shapes,
+        input_output_aliases={1 + i: i for i in range(len(caches))},
+        interpret=interpret,
+    )(pos.astype(jnp.int32), *caches, *fresh)
+    return list(out[:n_r]), list(out[n_r:])
