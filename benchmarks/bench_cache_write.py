@@ -193,7 +193,7 @@ def main():
         results["onehot_scale"] = time_variant(step_o, init_o, args.n)
 
     if "pallas" in variants:
-        from tutel_tpu.ops.kv_write_pallas import kv_cache_write
+        from tutel_tpu.ops.kv_write_pallas import write_step
 
         def init_p():
             return {
@@ -208,13 +208,15 @@ def main():
             pos = c["pos"]
             val = jnp.full((b, d), i, jnp.int8)
             sval = jnp.full((b, kvh), i, jnp.float32)
-            kv = []
+            kv, sc = [], []
             for j in range(L):
-                ck, cv = kv_cache_write(
-                    c["kv"][2 * j], c["kv"][2 * j + 1], val, val, pos)
-                kv += [ck, cv]
-            c["kv"] = kv
-            c["sc"] = [x.at[rows, :, pos].set(sval) for x in c["sc"]]
+                rc, cc = write_step(
+                    [c["kv"][2 * j], c["kv"][2 * j + 1]], [val, val],
+                    pos, col_caches=[c["sc"][2 * j], c["sc"][2 * j + 1]],
+                    cols=[sval, sval])
+                kv += rc
+                sc += cc
+            c["kv"], c["sc"] = kv, sc
             c["pos"] = pos + 1
             return c
 

@@ -615,19 +615,18 @@ class TransformerMoE:
             # See ops/kv_write_pallas.py and docs/RESULTS.md round-4b.
             if kern and scales is not None and not (skip_vals
                                                     or skip_scales):
-                from ..ops.kv_write_pallas import write_step
-                ks_, vs_ = (scales if scales is not None
-                            else (None, None))
-                rc, cc = write_step(
-                    [cache["k"], cache["v"]], [kq, vq], pos,
-                    col_caches=([cache["k_s"], cache["v_s"]]
-                                if scales is not None else ()),
-                    cols=([ks_, vs_] if scales is not None else ()),
-                    interpret=(kern == "interpret"))
-                cache["k"], cache["v"] = rc
-                if scales is not None:
+                from ..ops.kv_write_pallas import (write_step,
+                                                   step_vmem_bytes)
+                rcs = [cache["k"], cache["v"]]
+                ccs = [cache["k_s"], cache["v_s"]]
+                if step_vmem_bytes(rcs, ccs) <= 10 * 2**20:
+                    rc, cc = write_step(
+                        rcs, [kq, vq], pos, col_caches=ccs,
+                        cols=list(scales),
+                        interpret=(kern == "interpret"))
+                    cache["k"], cache["v"] = rc
                     cache["k_s"], cache["v_s"] = cc
-                return
+                    return
             if not skip_vals:
                 cache["k"] = cache["k"].at[rows, pos].set(kq)
                 cache["v"] = cache["v"].at[rows, pos].set(vq)

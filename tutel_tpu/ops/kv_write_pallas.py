@@ -41,73 +41,104 @@ _WROW = 8     # row-window: multiple of every sublane tile (f32/bf16 8,
 _WCOL = 128   # lane-window: lane tiles are always 128
 
 
-def _rmw_kernel(pos_ref, *refs, n_r, n_c):
+def _rmw_kernel(pos_ref, *refs, n_r, n_c, nb):
     # operand layout (after the scalar-prefetched pos):
     #   inputs:  n_r row-caches [B,T,D] (HBM, aliased, read via DMA),
     #            n_c col-caches [B,H,T] (HBM, aliased, read via DMA),
-    #            n_r fresh rows [B,1,D] (VMEM blocks (1,1,D)),
-    #            n_c fresh cols [B,H,1] (VMEM blocks (1,H,1))
+    #            pos again as a VMEM [B,1] vector (for the selects),
+    #            n_r fresh rows [B,D] (VMEM, whole array),
+    #            n_c fresh cols [B,H] (VMEM, whole array)
     #   outputs: n_r + n_c caches (HBM, same buffers)
-    #   scratch: per-tensor VMEM windows + one DMA semaphore each
+    #   scratch: per-tensor [B, W, ...] VMEM windows + one DMA
+    #            semaphore each
+    # ALL rows' window transfers are in flight together (64 x n small
+    # DMAs issued back-to-back, ~40 ns each to issue), so the kernel
+    # pays ~one DMA completion latency per phase instead of one per
+    # row — the per-row pipelined variant measured ~270 us/step at
+    # the serving config; this batched form is bounded by issue cost
+    # + 2 latencies + the (tiny) window bandwidth.
     n = n_r + n_c
     caches = refs[:n]
-    fresh = refs[n:2 * n]
-    outs = refs[2 * n:3 * n]
-    scratch = refs[3 * n:4 * n]
-    sems = refs[4 * n:]
-    bi = pl.program_id(0)
-    p = pos_ref[bi]
+    posv = refs[n]
+    fresh = refs[n + 1:n + 1 + n]
+    outs = refs[n + 1 + n:n + 1 + 2 * n]
+    scratch = refs[n + 1 + 2 * n:n + 1 + 3 * n]
+    sems = refs[n + 1 + 3 * n:]
 
-    def row_read(i):
+    def row_cp(i, bi, dst_cache=None):
+        p = pos_ref[bi]
         w0 = (p // _WROW) * _WROW
+        win = (caches[i] if dst_cache is None else outs[i]
+               ).at[bi, pl.ds(w0, _WROW)]
+        s = scratch[i].at[bi]
         return pltpu.make_async_copy(
-            caches[i].at[bi, pl.ds(w0, _WROW)], scratch[i], sems[i])
+            *((win, s) if dst_cache is None else (s, win)), sems[i])
 
-    def row_write(i):
-        w0 = (p // _WROW) * _WROW
-        return pltpu.make_async_copy(
-            scratch[i], outs[i].at[bi, pl.ds(w0, _WROW)], sems[i])
-
-    def col_read(i):
+    def col_cp(i, bi, dst_cache=None):
+        p = pos_ref[bi]
         w0 = (p // _WCOL) * _WCOL
+        win = (caches[i] if dst_cache is None else outs[i]
+               ).at[bi, slice(None), pl.ds(w0, _WCOL)]
+        s = scratch[i].at[bi]
         return pltpu.make_async_copy(
-            caches[i].at[bi, slice(None), pl.ds(w0, _WCOL)],
-            scratch[i], sems[i])
+            *((win, s) if dst_cache is None else (s, win)), sems[i])
 
-    def col_write(i):
-        w0 = (p // _WCOL) * _WCOL
-        return pltpu.make_async_copy(
-            scratch[i], outs[i].at[bi, slice(None), pl.ds(w0, _WCOL)],
-            sems[i])
+    cps = [row_cp if i < n_r else col_cp for i in range(n)]
 
-    reads = [row_read(i) for i in range(n_r)] + \
-            [col_read(n_r + i) for i in range(n_c)]
-    for cp in reads:
-        cp.start()
-    for cp in reads:
-        cp.wait()
+    def phase(write_back):
+        def start_body(bi, _):
+            for i in range(n):
+                cps[i](i, bi, dst_cache=write_back or None).start()
+            return 0
 
-    # select the fresh row / column into the window (VPU)
+        def wait_body(bi, _):
+            for i in range(n):
+                cps[i](i, bi, dst_cache=write_back or None).wait()
+            return 0
+
+        jax.lax.fori_loop(0, nb, start_body, 0)
+        jax.lax.fori_loop(0, nb, wait_body, 0)
+
+    phase(write_back=False)
+
+    # select the fresh rows / columns into the windows (one vectorized
+    # VPU select per tensor, all batch rows at once). Masks and
+    # operands broadcast to the 3D window shape via explicit
+    # lax.broadcast_in_dim — Mosaic rejects the trailing-1 reshapes
+    # that jnp's None-indexing would introduce.
+    pv = posv[...].astype(jnp.int32)                      # [B, 1]
+
+    def b3(x, shape, dims):
+        return jax.lax.broadcast_in_dim(x, shape, dims)
+
     for i in range(n_r):
-        r = p - (p // _WROW) * _WROW
-        hit = jax.lax.broadcasted_iota(
-            jnp.int32, scratch[i].shape, 0) == r
-        scratch[i][...] = jnp.where(hit, fresh[i][0], scratch[i][...])
+        shp = scratch[i].shape                            # [B, W, D]
+        r = b3(pv % _WROW, shp, (0, 1))                   # over W
+        hit = jax.lax.broadcasted_iota(jnp.int32, shp, 1) == r
+        scratch[i][...] = jnp.where(
+            hit, b3(fresh[i][...], shp, (0, 2)), scratch[i][...])
     for j in range(n_c):
         i = n_r + j
-        r = p - (p // _WCOL) * _WCOL
-        hit = jax.lax.broadcasted_iota(
-            jnp.int32, scratch[i].shape, 1) == r
-        # fresh col enters as a [B, H, 1] array so its (1, H, 1) block
-        # loads as [H, 1] — already sublane-major, no relayout
-        scratch[i][...] = jnp.where(hit, fresh[i][0], scratch[i][...])
+        shp = scratch[i].shape                            # [B, H, W]
+        r = b3(pv % _WCOL, shp, (0, 2))                   # over lanes
+        hit = jax.lax.broadcasted_iota(jnp.int32, shp, 2) == r
+        scratch[i][...] = jnp.where(
+            hit, b3(fresh[i][...], shp, (0, 1)), scratch[i][...])
 
-    writes = [row_write(i) for i in range(n_r)] + \
-             [col_write(n_r + i) for i in range(n_c)]
-    for cp in writes:
-        cp.start()
-    for cp in writes:
-        cp.wait()
+    phase(write_back=True)
+
+
+def step_vmem_bytes(row_caches, col_caches=()):
+    """Scratch bytes write_step allocates: a [B, W, .] window per
+    tensor (all batch rows resident so one vectorized select covers
+    the whole batch). Callers should fall back to XLA scatters when
+    this approaches the ~16 MB VMEM budget (large B x large model)."""
+    total = 0
+    for c in row_caches:
+        total += c.shape[0] * _WROW * c.shape[2] * c.dtype.itemsize
+    for c in col_caches:
+        total += c.shape[0] * c.shape[1] * _WCOL * c.dtype.itemsize
+    return total
 
 
 def write_step(row_caches, rows, pos, col_caches=(), cols=(), *,
@@ -140,27 +171,27 @@ def write_step(row_caches, rows, pos, col_caches=(), cols=(), *,
         assert s.shape == (b, c.shape[1]) and s.dtype == c.dtype, (
             s.shape, c.shape, s.dtype, c.dtype)
 
-    kernel = functools.partial(_rmw_kernel, n_r=n_r, n_c=n_c)
+    kernel = functools.partial(_rmw_kernel, n_r=n_r, n_c=n_c, nb=b)
     caches = row_caches + col_caches
-    fresh = ([r[:, None, :] for r in rows]
-             + [s[:, :, None] for s in cols])
+    fresh = rows + cols
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.ANY) for _ in caches]
-        + [pl.BlockSpec((1,) + f.shape[1:],
-                        lambda bi, pos: (bi, 0, 0)) for f in fresh]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)]        # pos vector
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in fresh]
     )
     out_specs = [pl.BlockSpec(memory_space=pltpu.ANY) for _ in caches]
     out_shapes = [jax.ShapeDtypeStruct(c.shape, c.dtype) for c in caches]
     scratch = (
-        [pltpu.VMEM((_WROW, c.shape[2]), c.dtype) for c in row_caches]
-        + [pltpu.VMEM((c.shape[1], _WCOL), c.dtype)
+        [pltpu.VMEM((b, _WROW, c.shape[2]), c.dtype)
+         for c in row_caches]
+        + [pltpu.VMEM((b, c.shape[1], _WCOL), c.dtype)
            for c in col_caches]
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b,),
+            grid=(),
             in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=scratch + [pltpu.SemaphoreType.DMA] * len(caches),
@@ -168,5 +199,6 @@ def write_step(row_caches, rows, pos, col_caches=(), cols=(), *,
         out_shape=out_shapes,
         input_output_aliases={1 + i: i for i in range(len(caches))},
         interpret=interpret,
-    )(pos.astype(jnp.int32), *caches, *fresh)
+    )(pos.astype(jnp.int32), *caches, pos.astype(jnp.int32)[:, None],
+      *fresh)
     return list(out[:n_r]), list(out[n_r:])
