@@ -42,4 +42,14 @@ run kernel_w4a8    python benchmarks/bench_fused_kernel.py --variant w4a8 --chun
 run serving      python benchmarks/bench_serving.py
 run lm_serving       python benchmarks/bench_lm_serving.py --spec 4.0
 run lm_serving_kv8   python benchmarks/bench_lm_serving.py --spec 4.0 --kv_bits 8
+
+# 2k-window serving ladder (rounds 4b/4c: flat slabs + fused RMW
+# cache writes; docs/RESULTS.md "quantized KV cache" table)
+LM2K="--max_len 2048 --prompt_len 1664 --gen_len 320 --batch 64 \
+--requests 64 --chunk 16 --spec 4.0"
+run lm_serving_2k_bf16    python benchmarks/bench_lm_serving.py $LM2K
+run lm_serving_2k_kv8     python benchmarks/bench_lm_serving.py $LM2K --kv_bits 8
+run lm_serving_2k_kv4     python benchmarks/bench_lm_serving.py $LM2K --kv_bits 4
+run lm_serving_2k_kv8_gqa python benchmarks/bench_lm_serving.py $LM2K --kv_bits 8 --kv_heads 2
+run lm_serving_2k_kv4_gqa python benchmarks/bench_lm_serving.py $LM2K --kv_bits 4 --kv_heads 2
 note "sweep complete -> $OUT"

@@ -144,6 +144,26 @@ def test_ec_decode_1024_tokens(tpu):
         f"< 1.03M (round-4 measured 1.148M)")
 
 
+def test_lm_serving_kv8_2k_window(tpu):
+    """The LM serving headline: kv8 continuous batching at the 2k
+    window (4 layers, 2 MoE x 32 INT4 experts, B=64, prompt 1664,
+    chunk 16, speculative capacity, donated cache, flash-decode +
+    fused RMW cache-write kernels). Round-4b/4c measured the device
+    chunk at 115.8 -> 53.9 (flat slabs) -> 36.2 ms (RMW writes); pin
+    the loop-differenced device chunk at +15% so neither layout nor
+    kernel regressions sneak back."""
+    rec = _run_json(["benchmarks/bench_lm_serving.py",
+                     "--max_len", "2048", "--prompt_len", "1664",
+                     "--gen_len", "320", "--batch", "64",
+                     "--requests", "64", "--chunk", "16",
+                     "--spec", "4.0", "--kv_bits", "8"],
+                    timeout=1500)
+    assert rec["device_chunk_ms"] <= 41.6, (
+        f"kv8 2k-window serving chunk regressed: "
+        f"{rec['device_chunk_ms']:.1f} ms > 41.6 (round-4 measured "
+        f"36.2 ms)")
+
+
 def test_lm_train_mfu(tpu):
     """Full-model Transformer-MoE LM training step (attention + dense
     FFN + MoE FFN + logits, fwd+bwd+SGD) — the driver-attested MFU row

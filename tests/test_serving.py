@@ -641,6 +641,55 @@ def test_speculative_capacity_multi_device_ep():
                 rtol=1e-5, atol=1e-8, err_msg=str(uid))
 
 
+def test_lm_engine_multi_device_ep():
+    """The FULL-MODEL serving engine under 8-way expert parallelism:
+    LmDecodeEngine over a TransformerMoE whose MoE layers shard one
+    expert per device. Token counts at serving batch sizes never
+    divide the world (B=4 decode rows, b*tc prefill rows on 8
+    devices), so the model pads its MoE calls up to the world multiple
+    with scalar `valid_tokens` masking (TransformerMoE._moe_call) —
+    the same partial-fill contract MoeDecodeEngine uses. Generated
+    tokens must EQUAL the single-device engine's, greedy and
+    speculative both."""
+    from tutel_tpu.models import TransformerMoE, TransformerMoEConfig
+    from tutel_tpu.serving import LmDecodeEngine, LmRequest
+
+    cfg = TransformerMoEConfig(
+        vocab_size=97, max_len=64, model_dim=64, num_heads=4,
+        num_layers=3, ffn_hidden=128, moe_every=2, num_local_experts=1,
+        top_k=2, capacity_factor=0.0, expert_hidden=96,
+        dtype=jnp.float32)
+    m_ep = TransformerMoE(cfg, group=jax.devices()[:8])
+    m_1 = TransformerMoE(
+        TransformerMoEConfig(**{**cfg.__dict__, "num_local_experts": 8}),
+        group=jax.devices()[:1])
+    params = m_1.init(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    prompts = [rng.randint(0, 97, 5).astype(np.int32) for _ in range(6)]
+
+    def mk():
+        return [LmRequest(uid=i, prompt=p.copy(), max_new_tokens=8)
+                for i, p in enumerate(prompts)]
+
+    ov = {"capacity_factor": 8.0}
+    out1 = LmDecodeEngine(m_1, params, max_batch=4,
+                          moe_overrides=ov).run(mk(), chunk=4)
+    outep = LmDecodeEngine(m_ep, params, max_batch=4,
+                           moe_overrides=ov).run(mk(), chunk=4)
+    for k in out1:
+        np.testing.assert_array_equal(out1[k], outep[k], err_msg=str(k))
+
+    # speculative capacity probing under EP at the same non-divisible
+    # batch (the probe pads with token_mask)
+    eng_s = LmDecodeEngine(m_ep, params, max_batch=4,
+                           moe_overrides={"capacity_factor": 0.0},
+                           speculative_capacity=4.0)
+    outs = eng_s.run(mk(), chunk=4)
+    for k in out1:
+        np.testing.assert_array_equal(out1[k], outs[k], err_msg=str(k))
+
+
 def test_lm_attn_bucket_window_is_exact():
     """Bucketed attention windows (read only ceil(live/bucket)*bucket
     cache positions) must generate the same tokens as full-cache reads:

@@ -185,6 +185,30 @@ class TransformerMoE:
         return jnp.einsum("btd,de->bte", out, block["wo"],
                           preferred_element_type=jnp.float32).astype(x.dtype)
 
+    def _moe_call(self, i, moe_params, h, key, **overrides):
+        """Call MoE layer i on activations h [..., d], padding the
+        flattened token count up to a multiple of the layer's world
+        size with `valid_tokens` masking — so the LM (and its serving
+        engine) runs under EP at ANY batch/prompt size, the same
+        partial-fill contract MoeDecodeEngine uses (scalar
+        valid_tokens = global packed fill; the padded tail is masked
+        out of routing, capacity, and the aux loss)."""
+        layer = self.moe_layers[i]
+        w = layer.world_size
+        shape = h.shape
+        n = 1
+        for s in shape[:-1]:
+            n *= int(s)
+        if w <= 1 or n % w == 0 or "valid_tokens" in overrides:
+            return layer(moe_params, h, key=key, **overrides)
+        pad = (-n) % w
+        hp = jnp.concatenate(
+            [h.reshape(n, shape[-1]),
+             jnp.zeros((pad, shape[-1]), h.dtype)], axis=0)
+        out, l_aux = layer(moe_params, hp, key=key, valid_tokens=n,
+                           **overrides)
+        return out[:n].reshape(shape), l_aux
+
     def apply(self, params, tokens, key=None, training=False,
               moe_overrides: Optional[dict] = None):
         """tokens [B, T] int32 -> (logits [B, T, V], l_aux_sum)."""
@@ -200,8 +224,8 @@ class TransformerMoE:
             x = x + self._attn(block, self._ln(block["ln1"], x))
             h = self._ln(block["ln2"], x)
             if i in self.moe_layers:
-                out, l_aux = self.moe_layers[i](
-                    block["moe"], h, key=jax.random.fold_in(key, i),
+                out, l_aux = self._moe_call(
+                    i, block["moe"], h, jax.random.fold_in(key, i),
                     training=training, **overrides)
                 x = x + out
                 l_aux_sum = l_aux_sum + l_aux.astype(jnp.float32)
@@ -800,11 +824,24 @@ class TransformerMoE:
             if i in self.moe_layers:
                 lk = jax.random.fold_in(key, i)
                 if capacity_probe:
-                    needed = self._decode_count_fn(
-                        i, overrides.get("top_k"))(block["moe"], h, lk)
+                    fn = self._decode_count_fn(
+                        i, overrides.get("top_k"))
+                    w = self.moe_layers[i].world_size
+                    n = h.shape[0]
+                    if w > 1 and n % w:
+                        # same EP padding contract as _moe_call: the
+                        # probe's token_mask drops the padded rows
+                        pad = (-n) % w
+                        hp = jnp.concatenate(
+                            [h, jnp.zeros((pad, h.shape[-1]),
+                                          h.dtype)], axis=0)
+                        needed = fn(block["moe"], hp, lk,
+                                    token_mask=jnp.arange(n + pad) < n)
+                    else:
+                        needed = fn(block["moe"], h, lk)
                     needed_max = jnp.maximum(needed_max, needed)
-                out, l_aux = self.moe_layers[i](
-                    block["moe"], h, key=lk, **overrides)
+                out, l_aux = self._moe_call(
+                    i, block["moe"], h, lk, **overrides)
                 x = x + out
                 l_aux_sum = l_aux_sum + l_aux.astype(jnp.float32)
             else:
@@ -999,9 +1036,9 @@ class TransformerMoE:
                 x = x + a
                 h = self._ln(block["ln2"], x)
                 if i in self.moe_layers:
-                    out, _l_aux = self.moe_layers[i](
-                        block["moe"], h,
-                        key=jax.random.fold_in(key, i), **ov)
+                    out, _l_aux = self._moe_call(
+                        i, block["moe"], h,
+                        jax.random.fold_in(key, i), **ov)
                     x = x + out
                 else:
                     f = block["ffn"]
