@@ -17,9 +17,9 @@ Variants:
                  [B,2,kvh,T]: 8 scatters/step.
   onehot_scale — values via scatter, scales via a full-array
                  where(iota == pos) select (scales are only ~4 MB).
-  pallas       — ops/kv_write_pallas.kv_cache_write: one kernel per
-                 (k, v) pair with scalar-prefetched row offsets,
-                 scales via XLA scatter.
+  pallas       — ops/kv_write_pallas.write_step: one batched RMW
+                 kernel per step writing k, v AND their scale columns
+                 (scales handled in-kernel via 128-lane windows).
 
 Prints one JSON line per variant: us/step by loop differencing
 (n vs 3n chained steps inside one jit; distinct inputs per run).

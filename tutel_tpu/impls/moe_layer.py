@@ -80,7 +80,9 @@ class MOELayer:
             num_local_experts = -int(1 / (num_local_experts + 1e-5))
         if num_local_experts == 0:
             raise Exception(
-                "Invalid value of num_local_experts: %d" % num_local_experts)
+                "num_local_experts resolved to 0 (got %r); use a positive "
+                "count, a negative shard degree, or a fractional float"
+                % num_local_experts)
         if num_local_experts > 0:
             return num_local_experts * world_size
         assert world_size % -num_local_experts == 0, (
@@ -113,10 +115,10 @@ class MOELayer:
         **kwargs,
     ):
         assert model_dim % 2 == 0, (
-            "Model_dim (%s) must be even value." % model_dim)
+            "model_dim must be even, got %s" % model_dim)
         for k in kwargs:
             raise Exception(
-                "Unrecognized argument provided to Tutel-TPU Moe-layer: %s" % k)
+                "MOELayer got an unrecognized constructor argument: %s" % k)
 
         # --- devices / world ------------------------------------------------
         if group is None:

@@ -6,7 +6,9 @@ XLA scatter lowering of `.at[rows, pos].set` measured ~20 ms of the
 53.9 ms kv8 decode chunk at the 2k-window serving config (37% of the
 chunk for 0.006% of its bytes; docs/RESULTS.md round-4b,
 benchmarks/bench_cache_write.py isolates the pattern). This kernel
-replaces a step's writes with one pallas_call over grid (B,).
+replaces a step's writes with ONE grid-() pallas_call whose body
+batches every row's window DMA (an internal fori_loop over rows
+issues all transfers back-to-back before waiting).
 
 Mosaic cannot express a 1-row dynamic slice of a tiled memref (row
 granularity breaks the (sublane, lane) tiling), so the kernel is a
