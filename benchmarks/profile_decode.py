@@ -35,8 +35,13 @@ def run(args):
 
     dtype = jnp.bfloat16 if jax.devices()[0].platform == "tpu" \
         else jnp.float32
+    if args.gate == "expert_choice":
+        gate_cfg = {"type": "expert_choice", "gate_noise": 0.0,
+                    "capacity_factor": float(args.top)}
+    else:
+        gate_cfg = {"type": "top", "k": args.top, "capacity_factor": 0.0}
     layer = moe.moe_layer(
-        gate_type={"type": "top", "k": args.top, "capacity_factor": 0.0},
+        gate_type=gate_cfg,
         experts={"type": "ffn", "num_experts_per_device": args.experts,
                  "hidden_size_per_expert": args.hidden,
                  "has_fc1_bias": False, "has_fc2_bias": False},
@@ -50,13 +55,19 @@ def run(args):
             p = dict(p)
             p["experts"] = quant.quantize_expert_params(p["experts"],
                                                         bits=args.bits)
+            from tutel_tpu.ops.fused_ffn_pallas import \
+                prepare_fused_ffn_params
+            p["experts"] = prepare_fused_ffn_params(p["experts"])
         return p
 
     params = make_params()
     jax.block_until_ready(jax.tree.leaves(params))
     x = jax.random.normal(jax.random.PRNGKey(1),
                           (args.tokens, args.model_dim)).astype(dtype)
-    cap = max(layer.resolve_capacity(params, x, top_k=args.top), 8)
+    if args.gate == "expert_choice":
+        cap = max(1, args.top * args.tokens // args.experts)
+    else:
+        cap = max(layer.resolve_capacity(params, x, top_k=args.top), 8)
 
     @jax.jit
     def loop(params, xx):
@@ -89,6 +100,7 @@ def run(args):
 
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument("--gate", type=str, default="top")
     parser.add_argument("--experts", type=int, default=128)
     parser.add_argument("--model_dim", type=int, default=2048)
     parser.add_argument("--hidden", type=int, default=2048)

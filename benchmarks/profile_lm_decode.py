@@ -36,7 +36,8 @@ def run(args):
         num_layers=args.num_layers, ffn_hidden=4 * args.model_dim,
         moe_every=2, num_local_experts=args.experts, top_k=2,
         capacity_factor=0.0, expert_hidden=args.expert_hidden,
-        dtype=dtype, kv_bits=args.kv_bits)
+        dtype=dtype, kv_bits=args.kv_bits,
+        num_kv_heads=args.num_kv_heads)
     model = TransformerMoE(cfg, group=jax.devices()[:1])
 
     @jax.jit
@@ -99,6 +100,7 @@ def main():
     p.add_argument("--vocab", type=int, default=32768)
     p.add_argument("--model_dim", type=int, default=1024)
     p.add_argument("--num_heads", type=int, default=8)
+    p.add_argument("--num_kv_heads", type=int, default=0)
     p.add_argument("--num_layers", type=int, default=4)
     p.add_argument("--experts", type=int, default=32)
     p.add_argument("--expert_hidden", type=int, default=2048)

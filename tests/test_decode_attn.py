@@ -106,8 +106,13 @@ def test_single_chunk_whole_window():
 # ---------------------------------------------------------------------------
 
 def test_pick_wc_ladder():
-    # small model: the full 512-row slab fits
-    assert pick_wc(2048, 1024, 2, nh=8) == 512
+    # bf16 model_dim=1024: 1024-row double-buffered slabs fit (8.4 MB),
+    # 2048-row ones (16.8 MB) don't — the ladder extends above 512
+    # because tiny per-grid-step DMAs are overhead-bound (round 5)
+    assert pick_wc(2048, 1024, 2, nh=8) == 1024
+    # quantized GQA serving config (d=256 int8): the whole 2k window
+    # fits in one chunk — wc=256 measured 231 GB/s vs 600+ at 1792
+    assert pick_wc(2048, 256, 1, nh=8, quantized=True, mq=4) >= 2048
     # bf16 model_dim=4096: 512-row double-buffered K+V slabs are
     # ~16.8 MB > budget; the guard must shrink (the advisor's case)
     wc = pick_wc(2048, 4096, 2, nh=32)

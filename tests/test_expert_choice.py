@@ -502,3 +502,35 @@ def test_ec_layer_onehot_combine_matches_scatter_end_to_end(monkeypatch):
     monkeypatch.setattr(ec_mod, "combine_rows", force_onehot)
     forced = outputs(None)
     np.testing.assert_allclose(forced, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_combine_rows_fanin_gather_matches_scatter():
+    """The round-5 bounded-fan-in gather combine: equal to the scatter
+    oracle for sub-bound fan-ins, and the traced overflow cond must
+    fall back (not truncate) when a token is chosen by more than J
+    experts — EC permits all E experts to pick the same token."""
+    import tutel_tpu.ops.expert_choice as ec_mod
+    from tutel_tpu.ops.expert_choice import combine_rows, _combine_fanin
+    rng = np.random.RandomState(1)
+    rows = jnp.asarray(rng.randn(40, 8).astype(np.float32))
+
+    # (a) sub-bound fan-ins: fanin path itself, no overflow
+    ids = jnp.asarray((np.arange(40) % 10).astype(np.int32))
+    out, over = _combine_fanin(rows, ids, 10)
+    assert not bool(over)
+    scat = combine_rows(rows, ids, 10, native=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(scat),
+                               rtol=1e-6, atol=1e-6)
+
+    # (b) overflow flag: 13 rows onto one token > J=8 slots must be
+    # DETECTED (the realization's caller-side cond falls back to the
+    # one-hot matmul rather than truncating)
+    ids_hot = jnp.asarray(np.r_[np.zeros(13), np.arange(1, 28)]
+                          .astype(np.int32))
+    _f_out, f_over = _combine_fanin(rows, ids_hot, 28)
+    assert bool(f_over)
+
+    # (c) gradients flow through the fanin gather
+    g = jax.grad(lambda r: _combine_fanin(r, ids, 10)[0].sum())(rows)
+    np.testing.assert_allclose(np.asarray(g), np.ones_like(rows),
+                               rtol=1e-6, atol=1e-6)

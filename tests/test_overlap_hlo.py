@@ -86,3 +86,54 @@ def test_degree1_has_no_interleaving():
     devs = _topology_devices()
     txt = _scheduled_hlo(devs, overlap=1)
     assert _ops_inside_async_windows(txt) == 0
+
+
+def _ops_inside_permute_windows(txt):
+    """Count dot/fusion ops scheduled while a collective-permute is in
+    flight (same discipline as `_ops_inside_async_windows`, for the
+    ring-attention K/V rotation)."""
+    assert "is_scheduled=true" in txt.splitlines()[0]
+    inter = in_flight = 0
+    for ln in txt.splitlines():
+        if "collective-permute-start" in ln:
+            in_flight += 1
+        elif "collective-permute-done" in ln:
+            in_flight = max(0, in_flight - 1)
+        elif in_flight and ("dot(" in ln or "fusion(" in ln):
+            inter += 1
+    return inter
+
+
+def test_ring_permute_overlaps_dots():
+    """Ring attention's K/V rotation must hide behind the step's
+    score/PV dots (round 5: the scan body issues the ppermute BEFORE
+    the dots, which have no data dependence on it). AOT-compiles the
+    ring-SP LM for a 16-device v5e:4x4 axis — the pod-scale shape the
+    scan form exists for — and asserts the scheduled HLO puts compute
+    inside collective-permute start/done windows."""
+    try:
+        from jax.experimental import topologies
+        topo = topologies.get_topology_desc("v5e:4x4", "tpu")
+        devs = list(topo.devices)
+    except Exception as e:
+        pytest.skip(f"TPU AOT topology unavailable: {e}")
+    from tutel_tpu.models import TransformerMoE, TransformerMoEConfig
+    n = len(devs)
+    cfg = TransformerMoEConfig(
+        vocab_size=512, max_len=16 * n, model_dim=512, num_heads=4,
+        num_kv_heads=2, num_layers=2, ffn_hidden=128, moe_every=2,
+        num_local_experts=1, top_k=2, capacity_factor=1.0,
+        expert_hidden=128, dtype=jnp.bfloat16)
+    model = TransformerMoE(cfg, group=devs)
+    params = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0)))
+    tokens = jax.ShapeDtypeStruct((2, 16 * n), jnp.int32)
+    txt = jax.jit(
+        lambda p, tok: model.apply_seqpar(p, tok, attn_mode="ring")
+    ).lower(params, tokens).compile(compiler_options={
+        "xla_tpu_enable_latency_hiding_scheduler": "True"}).as_text()
+    assert "collective-permute-start" in txt, (
+        "ring rotation was not lowered as an async collective-permute")
+    inter = _ops_inside_permute_windows(txt)
+    assert inter > 0, (
+        "ring schedule degenerated: no dot/fusion is issued while a "
+        "K/V rotation is in flight")

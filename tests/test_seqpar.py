@@ -191,14 +191,16 @@ def test_ring_lifts_head_bound_and_mha_restriction():
     np.testing.assert_allclose(np.asarray(sp_logits),
                                np.asarray(ref_logits),
                                rtol=2e-4, atol=2e-4)
-    # (b) grouped-query attention (num_kv_heads=2 of 8)
+    # (b) grouped-query attention with FEWER KV heads than devices
+    # (num_kv_heads=2 of 8): ulysses (which shards whole KV groups,
+    # round 5) cannot split 2 groups over 8 devices — ring can
     gqa_cfg = _cfg(num_kv_heads=2, num_layers=2)
     sp_model, ref_model = _models(gqa_cfg)
     params = ref_model.init(jax.random.PRNGKey(4))
     tokens = jax.random.randint(jax.random.PRNGKey(5), (b, t), 0,
                                 gqa_cfg.vocab_size)
-    with _pytest.raises(NotImplementedError, match="ring"):
-        sp_model.apply_seqpar(params, tokens)   # ulysses refuses GQA
+    with _pytest.raises(ValueError, match="ring"):
+        sp_model.apply_seqpar(params, tokens)   # ulysses refuses kvh<P
     ref_logits, _ = ref_model.apply(
         params, tokens, moe_overrides={"capacity_override": b * t})
     sp_params = _shard_moe(sp_model, params)
@@ -246,6 +248,77 @@ def test_ring_grads_equal_single_device():
         np.testing.assert_allclose(
             np.asarray(sg), np.asarray(rg), rtol=3e-4, atol=3e-5,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_seqpar_ulysses_gqa_forward_and_grads():
+    """Ulysses with grouped-query attention (round 5, P <= KVH): 16
+    query heads over 8 KV groups on the 8-device mesh — the query
+    heads travel group-major so each device owns whole groups; forward
+    logits AND gradients == single device."""
+    cfg = _cfg(num_heads=16, num_kv_heads=8, num_layers=2)
+    sp_model, ref_model = _models(cfg)
+    params = ref_model.init(jax.random.PRNGKey(0))
+    b, t = 2, 33
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (b, t), 0,
+                                cfg.vocab_size)
+    ref_logits, _ = ref_model.apply(
+        params, tokens[:, :-1],
+        moe_overrides={"capacity_override": b * (t - 1)})
+    sp_params = _shard_moe(sp_model, params)
+    sp_logits, _ = jax.jit(
+        lambda p, tok: sp_model.apply_seqpar(
+            p, tok, moe_overrides={"capacity_override": b * (t - 1)}))(
+        sp_params, tokens[:, :-1])
+    np.testing.assert_allclose(np.asarray(sp_logits),
+                               np.asarray(ref_logits),
+                               rtol=2e-4, atol=2e-4)
+
+    cap = b * (t - 1)
+
+    def ref_loss(p):
+        _loss, (nll, _aux) = ref_model.loss(
+            p, tokens, l_aux_wt=0.0, training=True,
+            moe_overrides={"capacity_override": cap})
+        return nll
+
+    def sp_loss(p):
+        _loss, (nll, _aux) = sp_model.loss_seqpar(
+            p, tokens, l_aux_wt=0.0, training=True,
+            moe_overrides={"capacity_override": cap})
+        return nll
+
+    ref_val, ref_grads = jax.value_and_grad(ref_loss)(params)
+    sp_val, sp_grads = jax.jit(jax.value_and_grad(sp_loss))(sp_params)
+    np.testing.assert_allclose(float(sp_val), float(ref_val),
+                               rtol=1e-5, atol=1e-6)
+    ref_leaves = jax.tree_util.tree_flatten_with_path(ref_grads)[0]
+    sp_leaves = dict(jax.tree_util.tree_flatten_with_path(sp_grads)[0])
+    for path, rg in ref_leaves:
+        np.testing.assert_allclose(
+            np.asarray(sp_leaves[path]), np.asarray(rg),
+            rtol=3e-4, atol=3e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_seqpar_composes_with_expert_choice():
+    """EC x SP (round-5 verdict item 8): apply_seqpar with expert-
+    choice routing — local_forward's EC exchange (score all_gather +
+    replicated top-C + ragged a2a) rides the same mesh as the
+    attention a2a pair. Logits == single device."""
+    cfg = _cfg(num_layers=2, gate_type="expert_choice",
+               capacity_factor=2.0)
+    sp_model, ref_model = _models(cfg)
+    params = ref_model.init(jax.random.PRNGKey(0))
+    b, t = 2, 32
+    tokens = jax.random.randint(jax.random.PRNGKey(6), (b, t), 0,
+                                cfg.vocab_size)
+    ref_logits, _ = ref_model.apply(params, tokens)
+    sp_params = _shard_moe(sp_model, params)
+    sp_logits, _ = jax.jit(
+        lambda p, tok: sp_model.apply_seqpar(p, tok))(sp_params, tokens)
+    np.testing.assert_allclose(np.asarray(sp_logits),
+                               np.asarray(ref_logits),
+                               rtol=2e-4, atol=2e-4)
 
 
 def test_seqpar_validations():

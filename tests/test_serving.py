@@ -722,3 +722,74 @@ def test_lm_attn_bucket_window_is_exact():
         list(model._serving_decode_cache)
     for uid in full:
         assert win[uid].tolist() == full[uid].tolist(), uid
+
+
+def test_lm_prefill_bucketed_admission():
+    """Prompt-length-bucketed admission (round 5): heterogeneous
+    prompt lengths (a) generate EXACTLY the tokens an exact-length
+    engine generates, and (b) compile O(buckets) prefill variants,
+    not O(distinct lengths) — the reference's no-recompilation-penalty
+    property (reference README.md:64-74) applied to admission."""
+    from tutel_tpu.serving import LmDecodeEngine, LmRequest
+    model, cfg = _lm_model()
+    params = model.init(jax.random.PRNGKey(0))
+    ov = {"capacity_factor": 8.0}
+    rng = np.random.RandomState(3)
+    # 6 distinct lengths spanning two 8-buckets
+    lens = [3, 4, 5, 7, 9, 12]
+    reqs = [LmRequest(uid=i,
+                      prompt=rng.randint(0, cfg.vocab_size,
+                                         size=l).astype(np.int32),
+                      max_new_tokens=4)
+            for i, l in enumerate(lens)]
+
+    def drive(bucket):
+        model._serving_prefill_cache = {}
+        eng = LmDecodeEngine(model, params, max_batch=6,
+                             moe_overrides=ov, prefill_bucket=bucket)
+        out = eng.run([LmRequest(uid=r.uid, prompt=r.prompt,
+                                 max_new_tokens=r.max_new_tokens)
+                       for r in reqs], chunk=2)
+        return out, len(model._serving_prefill_cache)
+
+    exact, n_exact = drive(0)
+    bucketed, n_buck = drive(8)
+    for r in reqs:
+        assert bucketed[r.uid].tolist() == exact[r.uid].tolist(), (
+            r.uid, bucketed[r.uid].tolist(), exact[r.uid].tolist())
+        want = _ref_generate(model, params, r.prompt,
+                             r.max_new_tokens, ov)
+        assert bucketed[r.uid].tolist() == want, r.uid
+    # exact grouping compiled one variant per distinct length; the
+    # bucketed engine one per (bucket, group size) — 2 buckets here
+    assert n_exact == len(set(lens))
+    assert n_buck == 2, list(model._serving_prefill_cache)
+
+
+def test_lm_prefill_bucket_group_sizes_share_bucket_compile():
+    """Admissions arriving in different group sizes still key the
+    prefill on the padded bucket length: admitting lengths {3, 5}
+    together and {6} later uses the same 8-bucket shape for both
+    flushes (2 compiles for 3 distinct lengths, differing only in n)."""
+    from tutel_tpu.serving import LmDecodeEngine, LmRequest
+    model, cfg = _lm_model()
+    params = model.init(jax.random.PRNGKey(0))
+    ov = {"capacity_factor": 8.0}
+    rng = np.random.RandomState(5)
+    model._serving_prefill_cache = {}
+    eng = LmDecodeEngine(model, params, max_batch=4,
+                         moe_overrides=ov, prefill_bucket=8)
+    p = {l: rng.randint(0, cfg.vocab_size, size=l).astype(np.int32)
+         for l in (3, 5, 6)}
+    eng.try_add(LmRequest(uid=0, prompt=p[3], max_new_tokens=3))
+    eng.try_add(LmRequest(uid=1, prompt=p[5], max_new_tokens=3))
+    eng.step_chunk(2)
+    eng.try_add(LmRequest(uid=2, prompt=p[6], max_new_tokens=3))
+    eng.step_chunk(2)
+    keys = list(model._serving_prefill_cache)
+    assert all(k[0] == 8 for k in keys), keys        # one bucket shape
+    while eng.active:                    # drain the remaining budgets
+        eng.step_chunk(2)
+    for uid, pl in ((0, p[3]), (1, p[5]), (2, p[6])):
+        want = _ref_generate(model, params, pl, 3, ov)
+        assert eng._generated[uid][:3] == want, (uid, eng._generated[uid], want)

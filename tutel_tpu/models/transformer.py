@@ -147,12 +147,14 @@ class TransformerMoE:
 
     @staticmethod
     def _ln(p, x):
+        # statistics in f32 (bf16 mean/var over 2048 lanes loses ~3
+        # decimal digits), elementwise normalize in the model dtype
         xf = x.astype(jnp.float32)
         mu = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.var(xf, axis=-1, keepdims=True)
-        y = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
-        return (y * p["scale"].astype(jnp.float32)
-                + p["bias"].astype(jnp.float32)).astype(x.dtype)
+        r = jax.lax.rsqrt(var + 1e-5)
+        y = (x - mu.astype(x.dtype)) * r.astype(x.dtype)
+        return y * p["scale"] + p["bias"]
 
     def _attn(self, block, x):
         # NOTE (round 4, measured): the stock TPU flash-attention
@@ -278,33 +280,56 @@ class TransformerMoE:
         reference only sketches (spatial_split,
         reference tutel/impls/communicate.py:589-604, and parted's A2A
         re-sharding, reference tutel/parted/patterns.py:91-109; SURVEY
-        §5 long-context owes capability parity, delivered here)."""
+        §5 long-context owes capability parity, delivered here).
+
+        Grouped-query attention (round 5, P <= KVH): K/V shard their
+        OWN head axis (only KVH/P heads travel — for GQA the K/V legs
+        move NH/KVH-fold less wire than the query legs), and the query
+        heads are pre-permuted group-major so the a2a lands each
+        device exactly the mq query heads of each of its KVH/P local
+        groups; the output leg inverts the permutation. With MHA the
+        permutation is the identity and this reduces to the classic
+        Ulysses pair."""
         cfg = self.cfg
         b, tl, d = x.shape
         nh, hd = cfg.num_heads, d // cfg.num_heads
+        kvh = self._kvh
+        mq = nh // kvh
         qkv = jnp.einsum("btd,de->bte", x, block["wqkv"],
                          preferred_element_type=jnp.float32).astype(x.dtype)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(b, tl, nh, hd)
-        k = k.reshape(b, tl, nh, hd)
-        v = v.reshape(b, tl, nh, hd)
+        q, k, v = self._split_qkv(qkv, (b, tl))
+        if mq > 1:
+            # group-major head order: position g*mq + j holds query
+            # head j*kvh + g (the h % kvh group convention), so a
+            # P-way contiguous head split co-locates each group's
+            # queries with its K/V head
+            perm = jnp.asarray([j * kvh + g for g in range(kvh)
+                                for j in range(mq)])
+            q = jnp.take(q, perm, axis=2)
         # scatter heads / gather sequence (device j's token block lands
         # at sequence offset j*tl, so global order is preserved)
         q, k, v = (jax.lax.all_to_all(a, axes, split_axis=2,
                                       concat_axis=1, tiled=True)
                    for a in (q, k, v))
         t = q.shape[1]
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+        gl = k.shape[2]                     # kvh/P local K/V groups
+        q = q.reshape(b, t, gl, mq, hd)     # group-major local layout
+        scores = jnp.einsum("bqgmd,bkgd->bgmqk", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores * (hd ** -0.5)
         mask = jnp.tril(jnp.ones((t, t), bool))
-        scores = jnp.where(mask[None, None], scores, -1e30)
+        scores = jnp.where(mask[None, None, None], scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+        out = jnp.einsum("bgmqk,bkgd->bqgmd", probs, v,
                          preferred_element_type=jnp.float32).astype(x.dtype)
+        out = out.reshape(b, t, gl * mq, hd)
         # scatter sequence / gather heads — the exact inverse
         out = jax.lax.all_to_all(out, axes, split_axis=1, concat_axis=2,
                                  tiled=True)
+        if mq > 1:
+            inv = jnp.asarray([(h % kvh) * mq + h // kvh
+                               for h in range(nh)])
+            out = jnp.take(out, inv, axis=2)
         out = out.reshape(b, tl, d)
         return jnp.einsum("btd,de->bte", out, block["wo"],
                           preferred_element_type=jnp.float32).astype(x.dtype)
@@ -343,11 +368,22 @@ class TransformerMoE:
         scale = hd ** -0.5
         q_pos = i * tl + jnp.arange(tl)                        # [tl]
         fwd_perm = [(r, (r + 1) % sp) for r in range(sp)]
-        m = jnp.full((b, mq, kvh, tl), -jnp.inf, jnp.float32)
-        den = jnp.zeros((b, mq, kvh, tl), jnp.float32)
-        acc = jnp.zeros((b, tl, mq, kvh, hd), jnp.float32)
-        k_blk, v_blk = k, v
-        for j in range(sp):
+
+        # ONE lax.scan step per ring position (round 5): the unrolled
+        # form's HLO grew O(sp) and its un-remat'd backward kept every
+        # step's [.., tl, tl] score tile alive — hostile at pod scale.
+        # The scan body is jax.checkpoint'ed, so the backward keeps
+        # only the per-step carry (the rotating K/V block + the online
+        # softmax state, the minimum an exact ring backward needs) and
+        # recomputes the tiles. The rotation is issued BEFORE the
+        # step's dots — it has no data dependence on them, so the
+        # latency-hiding scheduler overlaps the ppermute wire with the
+        # score/PV compute (asserted on scheduled HLO by
+        # tests/test_overlap_hlo.py::test_ring_permute_overlaps_dots).
+        def ring_step(carry, j):
+            m, den, acc, k_blk, v_blk = carry
+            k_nxt = jax.lax.ppermute(k_blk, axes, fwd_perm)
+            v_nxt = jax.lax.ppermute(v_blk, axes, fwd_perm)
             src = (i - j) % sp
             k_pos = src * tl + jnp.arange(tl)                  # [tl]
             scores = jnp.einsum("bqmgd,bkgd->bmgqk", qg, k_blk,
@@ -366,10 +402,14 @@ class TransformerMoE:
             pv = jnp.einsum("bmgqk,bkgd->bqmgd", p, v_blk,
                             preferred_element_type=jnp.float32)
             acc = acc * alpha.transpose(0, 3, 1, 2)[..., None] + pv
-            m = new_m
-            if j + 1 < sp:
-                k_blk = jax.lax.ppermute(k_blk, axes, fwd_perm)
-                v_blk = jax.lax.ppermute(v_blk, axes, fwd_perm)
+            return (new_m, den, acc, k_nxt, v_nxt), None
+
+        init = (jnp.full((b, mq, kvh, tl), -jnp.inf, jnp.float32),
+                jnp.zeros((b, mq, kvh, tl), jnp.float32),
+                jnp.zeros((b, tl, mq, kvh, hd), jnp.float32),
+                k, v)
+        (m, den, acc, _, _), _ = jax.lax.scan(
+            jax.checkpoint(ring_step), init, jnp.arange(sp))
         out = acc / den.transpose(0, 3, 1, 2)[..., None]
         out = out.astype(x.dtype).reshape(b, tl, d)
         return jnp.einsum("btd,de->bte", out, block["wo"],
@@ -410,12 +450,15 @@ class TransformerMoE:
 
         attn_mode:
           * "ulysses" — head<->sequence all-to-all pair around a full
-            attention (`_attn_seqpar`). Requires num_heads % P == 0 and
-            MHA (the a2a shards the head axis).
+            attention (`_attn_seqpar`). Requires num_kv_heads % P == 0
+            (so num_heads % P == 0 too): the a2a shards the head axes,
+            with GQA query heads permuted group-major so each device
+            gets whole groups (round 5 — previously MHA-only).
           * "ring" — blockwise ring attention (`_attn_ringpar`): K/V
             blocks rotate over ppermute with an online softmax. No
-            head-count bound, GQA supported; the K/V axis stays
-            sequence-sharded throughout (memory O(T/P) per device).
+            head-count bound (use it when P > num_kv_heads); the K/V
+            axis stays sequence-sharded throughout (memory O(T/P) per
+            device).
 
         Requires T % P == 0 (P = the MoE world size). moe_overrides
         supports top_k / capacity_factor / capacity_override
@@ -425,11 +468,6 @@ class TransformerMoE:
         if attn_mode not in ("ulysses", "ring"):
             raise ValueError(f"attn_mode={attn_mode!r} "
                              "(expected 'ulysses' or 'ring')")
-        if attn_mode == "ulysses" and self._kvh != cfg.num_heads:
-            raise NotImplementedError(
-                "attn_mode='ulysses' requires MHA (num_kv_heads == "
-                "num_heads): its all-to-all shards the head axis; use "
-                "attn_mode='ring' for grouped-query attention")
         mesh, axes, sp = self._moe_mesh()
         if sp == 1:
             return self.apply(params, tokens, key=key, training=training,
@@ -439,11 +477,12 @@ class TransformerMoE:
             raise ValueError(
                 f"sequence length {t} must divide the {sp}-device "
                 "SP world")
-        if attn_mode == "ulysses" and cfg.num_heads % sp:
+        if attn_mode == "ulysses" and self._kvh % sp:
             raise ValueError(
-                f"num_heads {cfg.num_heads} must divide the {sp}-device "
-                "SP world for attn_mode='ulysses' (use 'ring' to lift "
-                "the head bound)")
+                f"num_kv_heads {self._kvh} must divide the {sp}-device "
+                "SP world for attn_mode='ulysses' (its all-to-all "
+                "shards whole KV groups; use 'ring' when P exceeds "
+                "the KV head count)")
         if key is None:
             key = jax.random.PRNGKey(0)
         ov = dict(moe_overrides or {})
@@ -507,10 +546,7 @@ class TransformerMoE:
         logits, l_aux = self.apply_seqpar(
             params, tokens[:, :-1], key=key, training=training,
             moe_overrides=moe_overrides, attn_mode=attn_mode)
-        targets = tokens[:, 1:]
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.mean(jnp.take_along_axis(
-            logp, targets[..., None], axis=-1))
+        nll = self._nll(logits, tokens[:, 1:])
         return nll + l_aux_wt * l_aux, (nll, l_aux)
 
     # ------------------------------------------------------------------
@@ -593,10 +629,16 @@ class TransformerMoE:
         sc = scales[:, :, :read_len].transpose(0, 2, 1)[..., None]
         return vals * sc
 
-    def _attn_step(self, block, x, layer_cache, pos, attn_len=None):
+    def _attn_step(self, block, x, layer_cache, pos, attn_len=None,
+                   defer_write=False):
         """One-token attention: x [B, d], layer_cache {"k","v"[,scales]}
         (flat [B, T, kvh*hd] slabs — see init_cache), pos [B]. Returns
-        (out, new layer_cache).
+        (out, new layer_cache, pending) where pending is None unless
+        defer_write=True on the kernel path: then the cache is NOT
+        written here — the fresh K/V row (stored form + scales) comes
+        back as a dict and the attention kernel consumes it directly
+        (fresh-token injection), so the caller can batch EVERY layer's
+        cache write into one end-of-step RMW kernel.
 
         attn_len (static) bounds the cache READ to the first attn_len
         positions — EXACT whenever every row's pos < attn_len, because
@@ -660,20 +702,6 @@ class TransformerMoE:
                 cache["v_s"] = cache["v_s"].at[rows, :, pos].set(
                     scales[1])
 
-        if kv_q:
-            if cfg.kv_bits == 8:
-                # flat [B, d] rows into the flat [B, T, d] slab
-                kq, ks = self._kv_quantize(k)
-                vq, vs = self._kv_quantize(v)
-                kq, vq = kq.reshape(b, -1), vq.reshape(b, -1)
-            else:
-                kq, ks = self._kv_quantize4(k)
-                vq, vs = self._kv_quantize4(v)
-            write_kv(kq, vq, scales=(ks, vs))
-        else:
-            # flat [B, d] rows into the flat [B, T, d] slab
-            write_kv(k.reshape(b, -1), v.reshape(b, -1))
-        ck, cv = cache["k"], cache["v"]
         t = cfg.max_len if attn_len is None else min(int(attn_len),
                                                      cfg.max_len)
         wc = None
@@ -695,17 +723,47 @@ class TransformerMoE:
                         "exceeds the decode-attn kernel's VMEM budget "
                         "even at the minimum window chunk")
                 kern = ""
+        defer = bool(defer_write and kern)
+        pending = None
+        if kv_q:
+            if cfg.kv_bits == 8:
+                # flat [B, d] rows into the flat [B, T, d] slab
+                kq, ks = self._kv_quantize(k)
+                vq, vs = self._kv_quantize(v)
+                kq, vq = kq.reshape(b, -1), vq.reshape(b, -1)
+            else:
+                kq, ks = self._kv_quantize4(k)
+                vq, vs = self._kv_quantize4(v)
+            if defer:
+                pending = {"rows": (kq, vq), "cols": (ks, vs)}
+            else:
+                write_kv(kq, vq, scales=(ks, vs))
+        else:
+            kq, vq = k.reshape(b, -1), v.reshape(b, -1)
+            ks = vs = None
+            if defer:
+                pending = {"rows": (kq, vq), "cols": None}
+            else:
+                # flat [B, d] rows into the flat [B, T, d] slab
+                write_kv(kq, vq)
+        ck, cv = cache["k"], cache["v"]
         if kern:
             # fused flash-decode Pallas kernel: streams each row's K/V
             # window through VMEM once (XLA's slice+matvec lowering
-            # measured 1.3-2.5x slower on v5e; ops/decode_attn_pallas)
+            # measured 1.3-2.5x slower on v5e; ops/decode_attn_pallas).
+            # Deferred mode passes the fresh row to the kernel instead
+            # of reading it back from the cache.
             from ..ops.decode_attn_pallas import decode_attn
             out = decode_attn(
                 q, ck, cv, pos, attn_len=t, wc=wc,
                 k_scale=cache["k_s"] if kv_q else None,
                 v_scale=cache["v_s"] if kv_q else None,
                 kv_bits=cfg.kv_bits,
-                interpret=(kern == "interpret"))
+                interpret=(kern == "interpret"),
+                k_new=kq if defer else None,
+                v_new=vq if defer else None,
+                k_new_scale=ks if defer else None,
+                v_new_scale=vs if defer else None)
         else:
             if cfg.kv_bits == 4:
                 # unpack + dequantize the read window (test/CPU path;
@@ -739,7 +797,7 @@ class TransformerMoE:
         out = out.reshape(b, d)
         return jnp.einsum("bd,de->be", out, block["wo"],
                           preferred_element_type=jnp.float32).astype(
-            x.dtype), cache
+            x.dtype), cache, pending
 
     def _attn_kernel_mode(self, d):
         """'' = XLA path, 'native' = Pallas flash-decode kernel,
@@ -772,6 +830,99 @@ class TransformerMoE:
         if jax.default_backend() == "tpu":
             return "native"
         return "interpret" if env == "1" else ""
+
+    def _flush_kv_writes(self, cache_list, pendings, pos):
+        """Apply every layer's deferred KV-cache write in as few RMW
+        kernels as possible (see ops/kv_write_pallas.write_step).
+
+        The flash-decode kernel consumed the fresh rows directly
+        (fresh-token injection), so nothing in THIS step reads the
+        caches after here — only the next decode step does. Batching
+        all 2L row caches + 2L scale columns into one grid-() kernel
+        pays ~2 DMA-phase latencies per STEP instead of per LAYER
+        (the per-layer form measured ~2.3 ms/chunk over the no-writes
+        floor at the 2k kv8 serving config for ~0.2 MB of writes —
+        mostly phase latency). Float caches keep XLA row scatters
+        (measured at parity with the kernel, and their [B, 8, D] bf16
+        windows would double the batched kernel's VMEM scratch).
+        Groups split greedily under the kernel's VMEM budget."""
+        import os as _os
+        _skip = _os.environ.get("TUTEL_TPU_SKIP_KV_WRITE", "")
+        skip_vals = _skip in ("1", "vals")
+        skip_scales = _skip in ("1", "scales")
+        if _skip == "1":
+            return cache_list
+        rows = None
+        group = []           # (layer_idx, row_caches, rows, cols, colv)
+        group_bytes = 0
+
+        def flush(group):
+            if not group:
+                return
+            from ..ops.kv_write_pallas import write_step
+            interpret = (self._attn_kernel_mode(self.cfg.model_dim)
+                         == "interpret")
+            rcs, rvs, ccs, cvs, owners = [], [], [], [], []
+            for li, rc, rv, cc, cv in group:
+                owners.append((li, len(rcs), len(ccs), len(rc), len(cc)))
+                rcs += rc
+                rvs += rv
+                ccs += cc
+                cvs += cv
+            out_r, out_c = write_step(rcs, rvs, pos, col_caches=ccs,
+                                      cols=cvs, interpret=interpret)
+            for li, r0, c0, nr, nc in owners:
+                lc = dict(cache_list[li])
+                if nr:
+                    lc["k"], lc["v"] = out_r[r0], out_r[r0 + 1]
+                if nc:
+                    lc["k_s"], lc["v_s"] = out_c[c0], out_c[c0 + 1]
+                cache_list[li] = lc
+
+        from ..ops.kv_write_pallas import step_vmem_bytes
+        budget = 10 * 2 ** 20
+        for li, pend in enumerate(pendings):
+            if pend is None:
+                continue
+            lc = cache_list[li]
+            if rows is None:
+                b = pend["rows"][0].shape[0]
+                rows = jnp.arange(b)
+            if pend["cols"] is None:
+                # float cache: deferred XLA row scatters
+                if not skip_vals:
+                    kq, vq = pend["rows"]
+                    lc = dict(lc)
+                    lc["k"] = lc["k"].at[rows, pos].set(kq)
+                    lc["v"] = lc["v"].at[rows, pos].set(vq)
+                    cache_list[li] = lc
+                continue
+            rc = [] if skip_vals else [lc["k"], lc["v"]]
+            rv = [] if skip_vals else list(pend["rows"])
+            cc = [] if skip_scales else [lc["k_s"], lc["v_s"]]
+            cv = [] if skip_scales else list(pend["cols"])
+            nb = step_vmem_bytes(rc, cc)
+            if nb > budget:
+                # one layer alone exceeds the kernel budget: XLA
+                # scatters for it
+                lc = dict(lc)
+                if not skip_vals:
+                    kq, vq = pend["rows"]
+                    lc["k"] = lc["k"].at[rows, pos].set(kq)
+                    lc["v"] = lc["v"].at[rows, pos].set(vq)
+                if not skip_scales:
+                    ks, vs = pend["cols"]
+                    lc["k_s"] = lc["k_s"].at[rows, :, pos].set(ks)
+                    lc["v_s"] = lc["v_s"].at[rows, :, pos].set(vs)
+                cache_list[li] = lc
+                continue
+            if group_bytes + nb > budget:
+                flush(group)
+                group, group_bytes = [], 0
+            group.append((li, rc, rv, cc, cv))
+            group_bytes += nb
+        flush(group)
+        return cache_list
 
     def _decode_count_fn(self, i: int, top_k):
         """Cached per-MoE-layer traced needed-capacity probe (see
@@ -814,10 +965,12 @@ class TransformerMoE:
         overrides = dict(moe_overrides or {})
         needed_max = jnp.int32(0)
         new_cache = []
+        pendings = []
         for i, block in enumerate(params["blocks"]):
-            a, lc = self._attn_step(
+            a, lc, pend = self._attn_step(
                 block, self._ln(block["ln1"], x),
-                cache[i], pos, attn_len=attn_len)
+                cache[i], pos, attn_len=attn_len, defer_write=True)
+            pendings.append(pend)
             new_cache.append(lc)
             x = x + a
             h = self._ln(block["ln2"], x)
@@ -852,6 +1005,7 @@ class TransformerMoE:
                 o = jnp.einsum("bh,hd->bd", hdn, f["w2"],
                                preferred_element_type=jnp.float32)
                 x = x + (o + f["b2"]).astype(cfg.dtype)
+        new_cache = self._flush_kv_writes(new_cache, pendings, pos)
         x = self._ln(params["final_ln"], x)
         logits = jnp.einsum("bd,vd->bv", x,
                             params["embed"].astype(x.dtype),
@@ -862,10 +1016,25 @@ class TransformerMoE:
 
     def prefill(self, params, prompts, cache, key=None,
                 moe_overrides: Optional[dict] = None,
-                parallel: bool = True):
+                parallel: bool = True, prompt_lens=None):
         """Write prompts [B, Tp] into the cache; returns
         (logits_last [B, V], cache) where logits_last predicts the
         token after each prompt's last position.
+
+        prompt_lens [B] int32 (parallel path only): per-row TRUE
+        prompt lengths when Tp is a padded length bucket — logits_last
+        is taken at each row's prompt_lens[b]-1 instead of Tp-1. Rows
+        are exact for their true prefix: the padded tail's K/V cells
+        are written (garbage) but a row's positions past its own
+        length are masked out of every later read until the decode
+        chain rewrites them, and the MoE chunks run at the lossless
+        per-chunk capacity, so pad tokens cannot displace real ones
+        (an explicit capacity_factor override re-introduces
+        competition — don't combine it with length bucketing).
+        This is what makes prompt-length-bucketed admission exact
+        (LmDecodeEngine prefill_bucket); the no-recompile analogue of
+        the reference's alignment rounding (reference
+        tutel/impls/fast_dispatch.py:197-199).
 
         parallel=True (round 4, the default): ONE causal forward over
         the whole prompt — attention is a single [Tp, Tp] masked pass
@@ -889,7 +1058,12 @@ class TransformerMoE:
             key = jax.random.PRNGKey(0)
         if parallel:
             return self._prefill_parallel(params, prompts, cache, key,
-                                          moe_overrides)
+                                          moe_overrides,
+                                          prompt_lens=prompt_lens)
+        if prompt_lens is not None:
+            raise NotImplementedError(
+                "prompt_lens requires the parallel prefill path (the "
+                "scan oracle returns only the final step's logits)")
 
         def step(carry, t):
             cache, _ = carry
@@ -907,7 +1081,8 @@ class TransformerMoE:
         return logits, cache
 
     def _prefill_parallel(self, params, prompts, cache, key,
-                          moe_overrides, tc: int = 64):
+                          moe_overrides, tc: int = 64,
+                          prompt_lens=None):
         """Chunked-parallel prefill: a lax.scan over position chunks of
         `tc`. Each chunk runs ONE causal attention pass (its queries
         against the cache window written so far + itself) and ONE MoE
@@ -1053,9 +1228,17 @@ class TransformerMoE:
         cache, hs = jax.lax.scan(chunk_step, cache,
                                  jnp.arange(n_chunks))
         # hs: [n_chunks, b, tc, d]; the prompt's last position tp-1
-        # lives at chunk (tp-1)//tc, offset (tp-1)%tc (both static)
-        xl = self._ln(params["final_ln"],
-                      hs[(tp - 1) // tc][:, (tp - 1) % tc])
+        # lives at chunk (tp-1)//tc, offset (tp-1)%tc (both static) —
+        # or per-row at prompt_lens[b]-1 under length bucketing
+        if prompt_lens is None:
+            hl = hs[(tp - 1) // tc][:, (tp - 1) % tc]
+        else:
+            h_all = hs.transpose(1, 0, 2, 3).reshape(b, tp_pad, -1)
+            idx = jnp.clip(prompt_lens.astype(jnp.int32) - 1, 0,
+                           tp_pad - 1)
+            hl = jnp.take_along_axis(
+                h_all, idx[:, None, None], axis=1)[:, 0]
+        xl = self._ln(params["final_ln"], hl)
         logits = jnp.einsum("bd,vd->bv", xl,
                             params["embed"].astype(xl.dtype),
                             preferred_element_type=jnp.float32)
@@ -1068,8 +1251,19 @@ class TransformerMoE:
         logits, l_aux = self.apply(params, tokens[:, :-1], key=key,
                                    training=training,
                                    moe_overrides=moe_overrides)
-        targets = tokens[:, 1:]
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.mean(jnp.take_along_axis(
-            logp, targets[..., None], axis=-1))
+        nll = self._nll(logits, tokens[:, 1:])
         return nll + l_aux_wt * l_aux, (nll, l_aux)
+
+    @staticmethod
+    def _nll(logits, targets):
+        """Fused next-token cross-entropy: mean(logsumexp - target
+        logit). Equal to -mean(take(log_softmax)) but never
+        materializes the [B, T, V] log-probability tensor — at the
+        training bench config that tensor is 2.1 GB f32 and its
+        subtract alone measured 6.3 ms/step (round-5 MFU
+        decomposition, benchmarks/profile_lm_train.py)."""
+        lse = jax.scipy.special.logsumexp(
+            logits.astype(jnp.float32), axis=-1)           # [B, T]
+        tgt = jnp.take_along_axis(
+            logits, targets[..., None], axis=-1)[..., 0]
+        return jnp.mean(lse - tgt.astype(jnp.float32))

@@ -57,7 +57,9 @@ def _unpack4_slab(packed, compute_t):
 
 def _decode_attn_kernel(pos_ref, qbd_ref, k_ref, v_ref, *rest, wc,
                         n_chunks, nh, hd, mq, scale, out_dtype,
-                        quantized, pack4):
+                        quantized, pack4, fresh):
+    if fresh:
+        sn_ref, vn_ref, vsn_ref, *rest = rest
     if quantized:
         ks_ref, vs_ref, o_ref, acc_ref, m_ref, z_ref = rest
     else:
@@ -68,13 +70,30 @@ def _decode_attn_kernel(pos_ref, qbd_ref, k_ref, v_ref, *rest, wc,
 
     @pl.when(j == 0)
     def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        m_ref[...] = jnp.full_like(m_ref, -1e30)
-        z_ref[...] = jnp.zeros_like(z_ref)
+        if fresh:
+            # the CURRENT token's K/V never round-trip through the
+            # cache: its (stored-precision) score and V row seed the
+            # online softmax directly — m = s_fresh, z = exp(0) = 1,
+            # acc[h, :] = vs_fresh[h] * v_fresh (wrong-group columns
+            # get head h's scale, but the final block-diagonal select
+            # discards them). This decouples the decode step's cache
+            # WRITE from its attention READ, so all layers' writes
+            # batch into one end-of-step RMW kernel
+            # (models/transformer.py apply_decode).
+            m_ref[...] = sn_ref[0]                       # [nh, 1]
+            z_ref[...] = jnp.ones_like(z_ref)
+            acc_ref[...] = (vsn_ref[0]
+                            * vn_ref[0].astype(jnp.float32))
+        else:
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            m_ref[...] = jnp.full_like(m_ref, -1e30)
+            z_ref[...] = jnp.zeros_like(z_ref)
 
-    # positions this chunk covers: j*wc + [0, wc)
+    # positions this chunk covers: j*wc + [0, wc). With a fresh token
+    # the stored row at p is stale (or unwritten) and the fresh term
+    # already covers it, so the mask is strict there.
     t_iota = jax.lax.broadcasted_iota(jnp.int32, (nh, wc), 1) + j * wc
-    live = t_iota <= p
+    live = (t_iota < p) if fresh else (t_iota <= p)
 
     # INT8/INT4 KV dequant rides the block-diagonal structure for free:
     # score row h only touches head h's columns, so the per-(pos, head)
@@ -150,7 +169,9 @@ def _decode_attn_kernel(pos_ref, qbd_ref, k_ref, v_ref, *rest, wc,
 
 
 def decode_attn(q, k, v, pos, *, k_scale=None, v_scale=None,
-                attn_len=None, wc=512, kv_bits=8, interpret=False):
+                attn_len=None, wc=512, kv_bits=8, interpret=False,
+                k_new=None, v_new=None, k_new_scale=None,
+                v_new_scale=None):
     """One-token attention over the first `attn_len` cache positions.
 
     out[b, nh] = softmax_t(q[b, nh] . k[b, t, nh] / sqrt(hd)
@@ -176,6 +197,14 @@ def decode_attn(q, k, v, pos, *, k_scale=None, v_scale=None,
       wc: window chunk (VMEM slab length).
       kv_bits: 8 or 4 — quantized cache width (only read when scales
         are given).
+      k_new, v_new: the CURRENT token's K/V row in the cache's stored
+        form ([B, KVH*HD] float or int8; [B, KVH*HD//2] packed for
+        kv_bits=4), with k_new_scale/v_new_scale [B, KVH] when
+        quantized. When given, position pos[b] is NOT read from the
+        cache: the fresh row seeds the online softmax (same
+        stored-precision arithmetic, so the result matches a
+        write-then-read decode step), and the caller may defer the
+        actual cache write to an end-of-step batched kernel.
     Returns:
       [B, NH, HD] in q.dtype.
     """
@@ -217,12 +246,12 @@ def decode_attn(q, k, v, pos, *, k_scale=None, v_scale=None,
         f"cache length {t} must be {align}-aligned for this kernel")
     wc = min(wc, w)
     if w % wc:
-        # shrink to a divisor of w (w is align-ed so align always works)
-        cands = (256, 128) if quantized else (256, 128, 64, 32, 16)
-        for cand in cands:
-            if cand <= wc and w % cand == 0:
-                wc = cand
-                break
+        # shrink to the largest align-multiple divisor of w (w is
+        # align-ed so align itself always works); non-power-of-2
+        # divisors matter — e.g. w=1792 under a 1024 cap shrinks to
+        # 896, not all the way to 256
+        wc = next(c for c in range(wc - wc % align, 0, -align)
+                  if w % c == 0)
     n_chunks = w // wc
 
     # block-diagonal q: qbd[b, h, g(h)*hd:(g(h)+1)*hd] = q[b, h] with
@@ -237,16 +266,53 @@ def decode_attn(q, k, v, pos, *, k_scale=None, v_scale=None,
     vf = v.reshape(bsz, t, dk)
     scale = hd ** -0.5
 
+    fresh = k_new is not None
+    if fresh:
+        assert v_new is not None
+        compute_t = q.dtype
+        # dequantize the fresh row exactly as the kernel would have
+        # read it back: int values cast (exact in bf16), scales applied
+        # in f32 — so deferred-write decode == write-then-read decode
+        if pack4:
+            kn = _unpack4_slab(k_new.astype(jnp.int8), compute_t)
+            vn = _unpack4_slab(v_new.astype(jnp.int8), compute_t)
+        else:
+            kn = k_new.reshape(bsz, d).astype(compute_t)
+            vn = v_new.reshape(bsz, d).astype(compute_t)
+        # score of the fresh token, per query head: q_h . k_new[g(h)]
+        qg = q.reshape(bsz, mq, kvh, hd)
+        s_new = jnp.einsum("bmgd,bgd->bmg", qg,
+                           kn.reshape(bsz, kvh, hd),
+                           preferred_element_type=jnp.float32) * scale
+        s_new = s_new.reshape(bsz, nh)
+        if quantized:
+            assert k_new_scale is not None and v_new_scale is not None
+            s_new = s_new * jnp.tile(k_new_scale.astype(jnp.float32),
+                                     (1, mq))
+            vs_new = jnp.tile(v_new_scale.astype(jnp.float32), (1, mq))
+        else:
+            vs_new = jnp.ones((bsz, nh), jnp.float32)
+        s_new = s_new[..., None]                       # [B, nh, 1]
+        vs_new = vs_new[..., None]                     # [B, nh, 1]
+        vn = vn[:, None, :]                            # [B, 1, d]
+
     kernel = functools.partial(
         _decode_attn_kernel, wc=wc, n_chunks=n_chunks, nh=nh, hd=hd,
         mq=mq, scale=scale, out_dtype=q.dtype, quantized=quantized,
-        pack4=pack4)
+        pack4=pack4, fresh=fresh)
     in_specs = [
         pl.BlockSpec((1, nh, d), lambda b, j, pos: (b, 0, 0)),
         pl.BlockSpec((1, wc, dk), lambda b, j, pos: (b, j, 0)),
         pl.BlockSpec((1, wc, dk), lambda b, j, pos: (b, j, 0)),
     ]
     args = [pos.astype(jnp.int32), qbd, kf, vf]
+    if fresh:
+        in_specs += [
+            pl.BlockSpec((1, nh, 1), lambda b, j, pos: (b, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda b, j, pos: (b, 0, 0)),
+            pl.BlockSpec((1, nh, 1), lambda b, j, pos: (b, 0, 0)),
+        ]
+        args += [s_new, vn, vs_new]
     if quantized:
         in_specs += [
             pl.BlockSpec((1, kvh, wc), lambda b, j, pos: (b, 0, j)),
@@ -317,10 +383,22 @@ def pick_wc(t, d, itemsize, nh=1, budget=VMEM_BUDGET_BYTES,
     then take the XLA windowed-attention path. Mirrors the fused-FFN
     ladder pattern: shrink the streamed slab under VMEM pressure
     instead of failing to compile at large model_dim."""
+    import os
+    cap = int(os.environ.get("TUTEL_TPU_DECODE_WC_CAP", "0") or 0)
     floor = 128 if quantized else 16       # scale slabs lane-align 128
-    for wc in (512, 256, 128, 64, 32, 16):
+    # the ladder extends ABOVE 512 because per-grid-step overhead (DMA
+    # issue + semaphore + pipeline bookkeeping, ~350 ns measured) beats
+    # the transfer time when the [wc, d] slab is small: at the GQA
+    # serving config (d=256 int8) wc=256 moves 64 KB/step and the
+    # kernel measured 231 GB/s — 3x off the stream ceiling; the same
+    # window in 448 KB chunks (wc=1792, one chunk per row) runs the
+    # DMA engine at full rate. decode_attn clamps wc to the actual
+    # window, so a large pick just means "one chunk" at serving sizes.
+    for wc in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16):
         if wc < floor:
             break
+        if cap and wc > cap:
+            continue
         if vmem_bytes_decode_attn(t, d, itemsize, wc=wc, nh=nh,
                                   quantized=quantized, mq=mq,
                                   kv_bits=kv_bits) <= budget:

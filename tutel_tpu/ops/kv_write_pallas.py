@@ -176,6 +176,11 @@ def write_step(row_caches, rows, pos, col_caches=(), cols=(), *,
     kernel = functools.partial(_rmw_kernel, n_r=n_r, n_c=n_c, nb=b)
     caches = row_caches + col_caches
     fresh = rows + cols
+    # the caches pin to HBM explicitly (not ANY): with ANY, XLA's
+    # memory-space assignment pass may promote the aliased buffers to
+    # alternate memory, which inserts a full-cache bounce copy on BOTH
+    # sides of the kernel each step (measured ~3 ms/chunk at the 2k
+    # serving config — 30x the kernel's own cost)
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.ANY) for _ in caches]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)]        # pos vector

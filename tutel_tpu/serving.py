@@ -590,7 +590,8 @@ class LmDecodeEngine:
                  sampler: Optional[dict] = None,
                  speculative_capacity: float = 0.0,
                  capacity_bucket: int = 8,
-                 attn_bucket: int = 64):
+                 attn_bucket: int = 64,
+                 prefill_bucket: int = 64):
         self.model = model
         if auto_fuse and isinstance(params, dict) \
                 and isinstance(params.get("blocks"), list):
@@ -665,6 +666,16 @@ class LmDecodeEngine:
         # pos are masked to zero probability either way) and compiled
         # once per bucket. 0 disables (always read max_len).
         self.attn_bucket = int(attn_bucket)
+        # Prompt-length-bucketed admission: prefill executables are
+        # keyed on the PADDED length bucket, not the exact prompt
+        # length, so a workload of varied prompt lengths compiles
+        # O(buckets) prefill variants instead of O(distinct lengths)
+        # (the same no-recompile discipline as the variant cache /
+        # attn_bucket; exactness argument in TransformerMoE.prefill's
+        # prompt_lens doc). 0 = exact-length grouping. The parallel
+        # prefill already pads internally to its 64-position chunk, so
+        # the default bucket adds no work it wasn't doing.
+        self.prefill_bucket = int(prefill_bucket)
         self._host_pos = [0] * self.max_batch
         self._spec_over = jnp.asarray(False)
 
@@ -691,42 +702,62 @@ class LmDecodeEngine:
 
     # -- prefill (admission flush) --------------------------------------
 
-    def _prefill_fn(self, tp: int, n: int):
+    def _prefill_fn(self, tp: int, n: int, bucketed: bool):
         cache = getattr(self.model, "_serving_prefill_cache", None)
         if cache is None:
             cache = self.model._serving_prefill_cache = {}
-        fn = cache.get((tp, n, self._ov_key))
+        fn = cache.get((tp, n, bucketed, self._ov_key))
         if fn is None:
             model, ov = self.model, self.moe_overrides
             select = self._select
 
-            def fn(params, prompts, group_cache, key):
-                logits, group_cache = model.prefill(
-                    params, prompts, group_cache, moe_overrides=ov)
-                return select(logits, key), group_cache
+            if bucketed:
+                def fn(params, prompts, group_cache, lens, key):
+                    logits, group_cache = model.prefill(
+                        params, prompts, group_cache, moe_overrides=ov,
+                        prompt_lens=lens)
+                    return select(logits, key), group_cache
+            else:
+                def fn(params, prompts, group_cache, lens, key):
+                    logits, group_cache = model.prefill(
+                        params, prompts, group_cache, moe_overrides=ov)
+                    return select(logits, key), group_cache
 
             fn = jax.jit(fn)
-            cache[(tp, n, self._ov_key)] = fn
+            cache[(tp, n, bucketed, self._ov_key)] = fn
         return fn
 
     def _flush_admissions(self):
         if not self._staged:
             return
-        # group by exact prompt length: each group is one prefill scan +
-        # one cache-row scatter per layer
+        # group by prompt-length BUCKET (exact length when
+        # prefill_bucket=0): each group is one prefill pass + one
+        # cache-row scatter per layer; mixed true lengths inside a
+        # bucket ride the model's prompt_lens contract
+        q = self.prefill_bucket
+        max_len = self.model.cfg.max_len
+
+        def bucket(tp):
+            return min(-(-tp // q) * q, max_len) if q > 0 else tp
+
         by_len: Dict[int, List[Any]] = {}
         for slot, req in self._staged:
-            by_len.setdefault(len(req.prompt), []).append((slot, req))
+            by_len.setdefault(bucket(len(req.prompt)), []).append(
+                (slot, req))
         self._staged = []
-        for tp, group in by_len.items():
+        for bl, group in by_len.items():
             slots = jnp.asarray([s for s, _ in group], jnp.int32)
-            prompts = jnp.asarray(
-                np.stack([np.asarray(r.prompt, np.int32)
-                          for _, r in group]))
+            lens = [len(r.prompt) for _, r in group]
+            bucketed = q > 0 and any(l != bl for l in lens)
+            prompts = jnp.asarray(np.stack(
+                [np.pad(np.asarray(r.prompt, np.int32),
+                        (0, bl - len(r.prompt)))
+                 for _, r in group]))
             n = len(group)
             self._key, sk = jax.random.split(self._key)
-            first_tok, gc = self._prefill_fn(tp, n)(
-                self.params, prompts, self.model.init_cache(n), sk)
+            first_tok, gc = self._prefill_fn(bl, n, bucketed)(
+                self.params, prompts, self.model.init_cache(n),
+                jnp.asarray(lens, jnp.int32), sk)
             for i, layer_cache in enumerate(gc):
                 # generic over the cache layout (bf16 {"k","v"} or the
                 # INT8 {"k","v","k_s","v_s"} form — dim 0 is always B)
@@ -734,9 +765,10 @@ class LmDecodeEngine:
                     kk: self.cache[i][kk].at[slots].set(layer_cache[kk])
                     for kk in self.cache[i]}
             self._tok = self._tok.at[slots].set(first_tok)
-            self._pos = self._pos.at[slots].set(jnp.int32(tp))
-            for slot, _ in group:
-                self._host_pos[slot] = tp
+            self._pos = self._pos.at[slots].set(
+                jnp.asarray(lens, jnp.int32))
+            for (slot, _), l in zip(group, lens):
+                self._host_pos[slot] = l
             # the prefill's selection is the first generated token
             for j, (slot, req) in enumerate(group):
                 tok = int(first_tok[j])
@@ -814,9 +846,25 @@ class LmDecodeEngine:
             # Only tok/pos must stay undonated there (the replay
             # restarts from the pre-chunk tokens/positions).
             donate = (1,) if with_probe else (1, 2, 3)
-            fn = jax.jit(fn, donate_argnums=donate)
+            fn = jax.jit(fn, donate_argnums=donate,
+                         compiler_options=self._chunk_compiler_options())
             cache[ck] = fn
         return fn
+
+    def _chunk_compiler_options(self):
+        """XLA options for the decode-chunk compile, env-overridable
+        (TUTEL_TPU_DECODE_MSA=0 disables memory-space assignment for
+        the chunk executable). Measured at the 2k kv8+GQA serving
+        config (round 5): on the pre-round-5 step — per-layer RMW
+        writes inside the attention dependency chain — MSA bounced the
+        full aliased caches through alternate memory every step and
+        msa_off won by ~1.1 ms/chunk; after fresh-token injection +
+        the end-of-step batched write the bounce is gone and MSA's
+        weight prefetching wins by ~4 ms/chunk, so the default is ON."""
+        import os
+        if os.environ.get("TUTEL_TPU_DECODE_MSA", "") == "0":
+            return {"xla_msa_enable": "false"}
+        return None
 
     def _attn_len(self, n_steps: int) -> Optional[int]:
         """Static attention-window bound for the next n_steps: largest
