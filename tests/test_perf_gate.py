@@ -248,12 +248,14 @@ def test_lm_serving_kv4_gqa_2k_window(tpu):
 
 def test_lm_train_mfu(tpu):
     """Full-model Transformer-MoE LM training step (attention + dense
-    FFN + MoE FFN + logits, fwd+bwd+SGD) — the driver-attested MFU row
-    the round-3 verdict asked for. Measured 75.9k tokens/s at 56% MFU
-    (216 ms/step, 23.9 analytic TFLOP); pin at -10%."""
+    FFN + MoE FFN + logits, fwd+bwd+SGD) — the driver-attested MFU
+    row. Round 5 measured 81.7k tokens/s at 60.5% MFU (200.3 ms/step,
+    23.9 analytic TFLOP; was 75.9k / 56% in round 4 — fused CE,
+    full-T aligned forward, bf16 logits cotangent, reduce-before-
+    slice); pin at -10%."""
     rec = _run_json(["benchmarks/bench_lm_train.py", "--n", "10"],
                     timeout=1800)
-    assert rec["value"] >= 68e3, (
-        f"LM training regressed: {rec['value']:.0f} tokens/s < 68k "
-        f"(round-4 measured 75.9k, MFU 0.56)")
-    assert rec["mfu"] >= 0.50, rec
+    assert rec["value"] >= 73e3, (
+        f"LM training regressed: {rec['value']:.0f} tokens/s < 73k "
+        f"(round-5 measured 81.7k, MFU 0.605)")
+    assert rec["mfu"] >= 0.54, rec

@@ -91,7 +91,7 @@ def test_seqpar_grads_equal_single_device():
     cfg = _cfg(num_layers=2)
     sp_model, ref_model = _models(cfg)
     params = ref_model.init(jax.random.PRNGKey(0))
-    b, t = 2, 33   # (t-1) % 8 == 0 for the shifted loss slice
+    b, t = 2, 32   # T % 8 == 0 (full-T forward, shifted logits)
     tokens = jax.random.randint(jax.random.PRNGKey(1), (b, t), 0,
                                 cfg.vocab_size)
     cap = b * (t - 1)
@@ -219,7 +219,7 @@ def test_ring_grads_equal_single_device():
     cfg = _cfg(num_layers=2)
     sp_model, ref_model = _models(cfg)
     params = ref_model.init(jax.random.PRNGKey(0))
-    b, t = 2, 33
+    b, t = 2, 32
     tokens = jax.random.randint(jax.random.PRNGKey(1), (b, t), 0,
                                 cfg.vocab_size)
     cap = b * (t - 1)
@@ -258,17 +258,17 @@ def test_seqpar_ulysses_gqa_forward_and_grads():
     cfg = _cfg(num_heads=16, num_kv_heads=8, num_layers=2)
     sp_model, ref_model = _models(cfg)
     params = ref_model.init(jax.random.PRNGKey(0))
-    b, t = 2, 33
+    b, t = 2, 32
     tokens = jax.random.randint(jax.random.PRNGKey(1), (b, t), 0,
                                 cfg.vocab_size)
     ref_logits, _ = ref_model.apply(
-        params, tokens[:, :-1],
-        moe_overrides={"capacity_override": b * (t - 1)})
+        params, tokens,
+        moe_overrides={"capacity_override": b * t})
     sp_params = _shard_moe(sp_model, params)
     sp_logits, _ = jax.jit(
         lambda p, tok: sp_model.apply_seqpar(
-            p, tok, moe_overrides={"capacity_override": b * (t - 1)}))(
-        sp_params, tokens[:, :-1])
+            p, tok, moe_overrides={"capacity_override": b * t}))(
+        sp_params, tokens)
     np.testing.assert_allclose(np.asarray(sp_logits),
                                np.asarray(ref_logits),
                                rtol=2e-4, atol=2e-4)

@@ -240,12 +240,18 @@ class TransformerMoE:
                                preferred_element_type=jnp.float32)
                 x = x + (o + f["b2"]).astype(cfg.dtype)
         x = self._ln(params["final_ln"], x)
-        # bf16 operands + f32 accumulation: an f32-upcast vocab matmul
-        # runs at the MXU's f32 rate and measured as the dominant MFU
-        # leak of the training step (benchmarks/bench_lm_train.py)
+        # bf16 operands + f32 MXU accumulation; for bf16 models the
+        # logits STORE in bf16 too (round 5): an f32 [B, T, V] logits
+        # tensor makes the backward vocab matmuls consume an f32
+        # cotangent — f32xbf16 runs at half the MXU rate — and doubles
+        # the CE reduction traffic (together ~12 ms of the 207 ms
+        # training step). The loss reductions still accumulate in f32
+        # (_nll upcasts inside the fused reduce); f32 models keep f32
+        # logits, so CPU/test numerics are unchanged.
+        pe = jnp.float32 if x.dtype == jnp.float32 else None
         logits = jnp.einsum("btd,vd->btv", x,
                             params["embed"].astype(x.dtype),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=pe)
         return logits, l_aux_sum
 
     # ------------------------------------------------------------------
@@ -540,13 +546,15 @@ class TransformerMoE:
                     attn_mode: str = "ulysses"):
         """Sequence-parallel next-token loss (the SP form of `loss`).
 
-        The shifted input slice tokens[:, :-1] is what shards, so the
-        SEQUENCE LENGTH MUST SATISFY (T - 1) % P == 0 (e.g. T = 33 on
-        an 8-device SP world)."""
+        Like `loss`, the FULL sequence runs the forward (every matmul
+        keeps its natural T tiling — the T-1 sliced form measured
+        ~2% slower at the training bench's T=512 because 511 is not a
+        lane multiple) and the logits are shifted afterwards, so the
+        SEQUENCE LENGTH MUST SATISFY T % P == 0."""
         logits, l_aux = self.apply_seqpar(
-            params, tokens[:, :-1], key=key, training=training,
+            params, tokens, key=key, training=training,
             moe_overrides=moe_overrides, attn_mode=attn_mode)
-        nll = self._nll(logits, tokens[:, 1:])
+        nll = self._nll_shifted(logits, tokens)
         return nll + l_aux_wt * l_aux, (nll, l_aux)
 
     # ------------------------------------------------------------------
@@ -1247,12 +1255,42 @@ class TransformerMoE:
     def loss(self, params, tokens, key=None, training=True,
              l_aux_wt=0.01, moe_overrides=None):
         """Next-token cross-entropy + weighted aux loss
-        (the fairseq patch's L_AUX_WT, fairseq_patch.diff:119-128)."""
-        logits, l_aux = self.apply(params, tokens[:, :-1], key=key,
-                                   training=training,
-                                   moe_overrides=moe_overrides)
-        nll = self._nll(logits, tokens[:, 1:])
+        (the fairseq patch's L_AUX_WT, fairseq_patch.diff:119-128).
+
+        The forward runs the FULL sequence and the logits are shifted
+        afterwards (round 5): slicing tokens[:, :-1] first made every
+        step matmul T-1 = 511 rows/lanes at the training bench and
+        measured ~4 ms/step slower than the aligned full-T form (the
+        trailing position's logits are dropped; its tokens do
+        participate in MoE routing, as in standard shifted-LM
+        training). When T exceeds max_len (datasets sized max_len+1
+        for the shift), the sliced form is kept — the positional
+        table bounds the forward."""
+        if tokens.shape[1] > self.cfg.max_len:
+            logits, l_aux = self.apply(params, tokens[:, :-1], key=key,
+                                       training=training,
+                                       moe_overrides=moe_overrides)
+            nll = self._nll(logits, tokens[:, 1:])
+        else:
+            logits, l_aux = self.apply(params, tokens, key=key,
+                                       training=training,
+                                       moe_overrides=moe_overrides)
+            nll = self._nll_shifted(logits, tokens)
         return nll + l_aux_wt * l_aux, (nll, l_aux)
+
+    @staticmethod
+    def _nll_shifted(logits, tokens):
+        """Shifted next-token nll over FULL-sequence logits, reducing
+        BEFORE slicing: logits[:, :-1] on the [B, T, V] tensor would
+        be a 2 GB copy at the training bench config, while the [B, T]
+        per-position losses slice for free (measured 202.7 ->
+        200.3 ms/step)."""
+        tpad = jnp.concatenate([tokens[:, 1:], tokens[:, :1]], axis=1)
+        lse = jax.scipy.special.logsumexp(
+            logits.astype(jnp.float32), axis=-1)           # [B, T]
+        tgt = jnp.take_along_axis(
+            logits, tpad[..., None], axis=-1)[..., 0]
+        return jnp.mean((lse - tgt.astype(jnp.float32))[:, :-1])
 
     @staticmethod
     def _nll(logits, targets):
