@@ -106,13 +106,14 @@ class FusedExpertsNetwork:
                 x, params, ctx, activation_fn=self.activation_fn,
                 output_dim=self.output_dim)
 
+        pe = jnp.float32 if x.dtype == jnp.float32 else None
         y = jnp.einsum("ecm,emh->ech", x, fc1_w.astype(x.dtype),
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+                       preferred_element_type=pe).astype(x.dtype)
         if fc1_b is not None:
             y = y + fc1_b.astype(y.dtype)[:, None, :]
         y = self.activation_fn(y)
         y = jnp.einsum("ech,eho->eco", y, fc2_w.astype(y.dtype),
-                       preferred_element_type=jnp.float32).astype(y.dtype)
+                       preferred_element_type=pe).astype(y.dtype)
         if fc2_b is not None:
             bias = fc2_b.astype(y.dtype)[:, None, :]
             if bias.shape[-1] != self.output_dim:
