@@ -85,9 +85,9 @@ def pallas_kernel(fn, interpret=None):
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY
                                    if interp else pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY
+            out_specs=pl.BlockSpec(memory_space=pl.ANY
                                    if interp else pltpu.VMEM),
             interpret=interp,
         )(x)

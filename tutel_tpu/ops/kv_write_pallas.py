@@ -182,11 +182,11 @@ def write_step(row_caches, rows, pos, col_caches=(), cols=(), *,
     # sides of the kernel each step (measured ~3 ms/chunk at the 2k
     # serving config — 30x the kernel's own cost)
     in_specs = (
-        [pl.BlockSpec(memory_space=pltpu.ANY) for _ in caches]
+        [pl.BlockSpec(memory_space=pl.ANY) for _ in caches]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)]        # pos vector
         + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in fresh]
     )
-    out_specs = [pl.BlockSpec(memory_space=pltpu.ANY) for _ in caches]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in caches]
     out_shapes = [jax.ShapeDtypeStruct(c.shape, c.dtype) for c in caches]
     scratch = (
         [pltpu.VMEM((b, _WROW, c.shape[2]), c.dtype)
