@@ -137,3 +137,41 @@ def test_kernel_write_path_equals_scatter_path_end_to_end(monkeypatch):
             np.testing.assert_allclose(np.asarray(ck["k_s"]),
                                        np.asarray(cr["k_s"]),
                                        rtol=1e-5, atol=1e-6)
+
+
+def test_write_kernel_survives_attention_vmem_fallback(monkeypatch):
+    """Round-5 review finding: the fused RMW write must stay engaged
+    even when the flash-decode kernel's VMEM ladder rejects the model
+    (pick_wc -> None downgrades the ATTENTION to XLA) — the write
+    kernel's budget is independent, and the XLA lane-dim scale scatter
+    it replaces is the documented catastrophic lowering."""
+    import tutel_tpu.ops.kv_write_pallas as kwp
+    import tutel_tpu.ops.decode_attn_pallas as dap
+    from tutel_tpu.models import TransformerMoE, TransformerMoEConfig
+
+    monkeypatch.setenv("TUTEL_TPU_DECODE_ATTN", "")
+    # force the interpret kernel mode, then fail the attention ladder
+    monkeypatch.setattr(
+        TransformerMoE, "_attn_kernel_mode", lambda self, d: "interpret")
+    monkeypatch.setattr(dap, "pick_wc", lambda *a, **k: None)
+    calls = {"n": 0}
+    orig = kwp.write_step
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+    monkeypatch.setattr(kwp, "write_step", counting)
+
+    cfg = TransformerMoEConfig(
+        vocab_size=61, max_len=128, model_dim=128, num_heads=2,
+        num_layers=2, ffn_hidden=64, moe_every=2, num_local_experts=2,
+        top_k=1, expert_hidden=64, kv_bits=8)
+    model = TransformerMoE(cfg, group=jax.devices()[:1])
+    params = model.init(jax.random.PRNGKey(0))
+    cache = model.init_cache(2)
+    logits, cache, _ = model.apply_decode(
+        params, jnp.zeros((2,), jnp.int32), cache,
+        jnp.zeros((2,), jnp.int32))
+    assert np.isfinite(np.asarray(logits)).all()
+    assert calls["n"] >= 1, (
+        "attention VMEM fallback must not disable the RMW write kernel")

@@ -259,3 +259,15 @@ def test_lm_train_mfu(tpu):
         f"LM training regressed: {rec['value']:.0f} tokens/s < 73k "
         f"(round-5 measured 81.7k, MFU 0.605)")
     assert rec["mfu"] >= 0.54, rec
+
+
+def test_serving_engine_speculative_chunk(tpu):
+    """The layer-level serving engine (MoeDecodeEngine, speculative
+    dropless capacity, residual_norm state update, 128 INT4 experts,
+    256 slots): round-5 sweep measured the 16-step device chunk at
+    14.15 ms (289k device tokens/s); pin at +15% so engine-level
+    regressions are caught by the sweep row's own gate."""
+    rec = _run_json(["benchmarks/bench_serving.py"], timeout=1500)
+    assert rec["device_chunk_ms"] <= 16.3, (
+        f"serving engine chunk regressed: {rec['device_chunk_ms']:.1f}"
+        " ms > 16.3 (round-5 measured 14.15)")

@@ -344,3 +344,25 @@ def test_seqpar_single_device_falls_back_to_apply():
     a, _ = model.apply(params, tokens)
     s, _ = model.apply_seqpar(params, tokens)
     np.testing.assert_allclose(np.asarray(s), np.asarray(a))
+
+
+def test_loss_seqpar_max_len_plus_one_dataset():
+    """Datasets sized max_len+1 for the shift keep working on the SP
+    path (round-5 review finding): loss_seqpar falls back to the
+    sliced forward, and still equals the single-device loss."""
+    cfg = _cfg(num_layers=2, max_len=32)
+    sp_model, ref_model = _models(cfg)
+    params = ref_model.init(jax.random.PRNGKey(0))
+    b, t = 2, 33                      # (t-1) % 8 == 0, t > max_len
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (b, t), 0,
+                                cfg.vocab_size)
+    cap = b * (t - 1)
+    _, (ref_nll, _) = ref_model.loss(
+        params, tokens, l_aux_wt=0.0,
+        moe_overrides={"capacity_override": cap})
+    sp_params = _shard_moe(sp_model, params)
+    _, (sp_nll, _) = sp_model.loss_seqpar(
+        sp_params, tokens, l_aux_wt=0.0,
+        moe_overrides={"capacity_override": cap})
+    np.testing.assert_allclose(float(sp_nll), float(ref_nll),
+                               rtol=1e-5, atol=1e-6)

@@ -733,7 +733,10 @@ def test_lm_prefill_bucketed_admission():
     from tutel_tpu.serving import LmDecodeEngine, LmRequest
     model, cfg = _lm_model()
     params = model.init(jax.random.PRNGKey(0))
-    ov = {"capacity_factor": 8.0}
+    # NOTE: no capacity_factor in the overrides — that would (correctly)
+    # auto-disable bucketing (pad tokens would compete for capacity);
+    # the gate's own generous factor keeps routing lossless here
+    ov = {}
     rng = np.random.RandomState(3)
     # 6 distinct lengths spanning two 8-buckets
     lens = [3, 4, 5, 7, 9, 12]
@@ -774,7 +777,7 @@ def test_lm_prefill_bucket_group_sizes_share_bucket_compile():
     from tutel_tpu.serving import LmDecodeEngine, LmRequest
     model, cfg = _lm_model()
     params = model.init(jax.random.PRNGKey(0))
-    ov = {"capacity_factor": 8.0}
+    ov = {}          # see the bucketed-admission test's capacity note
     rng = np.random.RandomState(5)
     model._serving_prefill_cache = {}
     eng = LmDecodeEngine(model, params, max_batch=4,
@@ -793,3 +796,41 @@ def test_lm_prefill_bucket_group_sizes_share_bucket_compile():
     for uid, pl in ((0, p[3]), (1, p[5]), (2, p[6])):
         want = _ref_generate(model, params, pl, 3, ov)
         assert eng._generated[uid][:3] == want, (uid, eng._generated[uid], want)
+
+
+def test_lm_prefill_bucket_auto_disabled_under_capacity_factor():
+    """Round-5 review finding: a capacity-LIMITED prefill lets pad
+    tokens displace real prompt tokens from expert buffers, so the
+    engine must fall back to exact-length grouping when moe_overrides
+    carries a capacity_factor — tokens must match the bucket=0 engine
+    exactly for every seed."""
+    from tutel_tpu.serving import LmDecodeEngine, LmRequest
+    model, cfg = _lm_model()
+    params = model.init(jax.random.PRNGKey(0))
+    ov = {"capacity_factor": 1.0}          # tight: drops are possible
+    for seed in range(3):
+        rng = np.random.RandomState(seed)
+        lens = [5, 6, 1, 4, 4, 2]
+        reqs = [LmRequest(uid=i,
+                          prompt=rng.randint(0, cfg.vocab_size,
+                                             size=l).astype(np.int32),
+                          max_new_tokens=3)
+                for i, l in enumerate(lens)]
+
+        def drive(bucket):
+            model._serving_prefill_cache = {}
+            eng = LmDecodeEngine(model, params, max_batch=6,
+                                 moe_overrides=ov,
+                                 prefill_bucket=bucket)
+            out = eng.run([LmRequest(uid=r.uid, prompt=r.prompt,
+                                     max_new_tokens=r.max_new_tokens)
+                           for r in reqs], chunk=2)
+            return out, list(model._serving_prefill_cache)
+
+        exact, _ = drive(0)
+        bucketed, keys = drive(32)
+        # bucketing disabled: prefill keys are the exact lengths
+        assert sorted({k[0] for k in keys}) == sorted(set(lens)), keys
+        for r in reqs:
+            assert bucketed[r.uid].tolist() == exact[r.uid].tolist(), (
+                seed, r.uid)

@@ -528,9 +528,13 @@ class TransformerMoE:
                                    preferred_element_type=jnp.float32)
                     x = x + (o + f["b2"]).astype(cfg.dtype)
             x = self._ln(params["final_ln"], x)
+            # same logits-dtype rule as `apply` (round 5): bf16 models
+            # store bf16 logits so the backward vocab matmul's
+            # cotangent runs at the bf16 MXU rate
+            pe = jnp.float32 if x.dtype == jnp.float32 else None
             logits = jnp.einsum("btd,vd->btv", x,
                                 params["embed"].astype(x.dtype),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=pe)
             # the MoE body's l_aux is already pmeaned over the expert
             # axes; the pmean here is an idempotent replication proof
             return logits, jax.lax.pmean(l_aux_sum, axes)
@@ -550,11 +554,19 @@ class TransformerMoE:
         keeps its natural T tiling — the T-1 sliced form measured
         ~2% slower at the training bench's T=512 because 511 is not a
         lane multiple) and the logits are shifted afterwards, so the
-        SEQUENCE LENGTH MUST SATISFY T % P == 0."""
-        logits, l_aux = self.apply_seqpar(
-            params, tokens, key=key, training=training,
-            moe_overrides=moe_overrides, attn_mode=attn_mode)
-        nll = self._nll_shifted(logits, tokens)
+        SEQUENCE LENGTH MUST SATISFY T % P == 0 (or (T-1) % P == 0
+        for datasets sized max_len+1, which keep the sliced form —
+        the positional table bounds the forward)."""
+        if tokens.shape[1] > self.cfg.max_len:
+            logits, l_aux = self.apply_seqpar(
+                params, tokens[:, :-1], key=key, training=training,
+                moe_overrides=moe_overrides, attn_mode=attn_mode)
+            nll = self._nll(logits, tokens[:, 1:])
+        else:
+            logits, l_aux = self.apply_seqpar(
+                params, tokens, key=key, training=training,
+                moe_overrides=moe_overrides, attn_mode=attn_mode)
+            nll = self._nll_shifted(logits, tokens)
         return nll + l_aux_wt * l_aux, (nll, l_aux)
 
     # ------------------------------------------------------------------
@@ -671,6 +683,13 @@ class TransformerMoE:
         rows = jnp.arange(b)
         cache = dict(layer_cache)
         kern = self._attn_kernel_mode(d)
+        # the WRITE kernel's eligibility is independent of the
+        # flash-decode kernel's VMEM ladder: a model_dim too big for
+        # the attention slabs must still use the fused RMW write (the
+        # XLA lane-dim scale scatter it replaces is the documented
+        # catastrophic lowering), so snapshot the mode before the
+        # attention guard below can downgrade `kern`
+        kern_write = kern
         _skip = _os.environ.get("TUTEL_TPU_SKIP_KV_WRITE", "")
         skip_vals = _skip in ("1", "vals")       # PROFILING ONLY:
         skip_scales = _skip in ("1", "scales")
@@ -687,8 +706,8 @@ class TransformerMoE:
             # value scatters are ~1 ms and the float path keeps them —
             # the kernel measured slightly WORSE than XLA there).
             # See ops/kv_write_pallas.py and docs/RESULTS.md round-4b.
-            if kern and scales is not None and not (skip_vals
-                                                    or skip_scales):
+            if kern_write and scales is not None and not (skip_vals
+                                                          or skip_scales):
                 from ..ops.kv_write_pallas import (write_step,
                                                    step_vmem_bytes)
                 rcs = [cache["k"], cache["v"]]
@@ -697,7 +716,7 @@ class TransformerMoE:
                     rc, cc = write_step(
                         rcs, [kq, vq], pos, col_caches=ccs,
                         cols=list(scales),
-                        interpret=(kern == "interpret"))
+                        interpret=(kern_write == "interpret"))
                     cache["k"], cache["v"] = rc
                     cache["k_s"], cache["v_s"] = cc
                     return
@@ -887,6 +906,20 @@ class TransformerMoE:
                     lc["k_s"], lc["v_s"] = out_c[c0], out_c[c0 + 1]
                 cache_list[li] = lc
 
+        def scatter(lc, pend):
+            # shared XLA fallback (float caches, and quantized layers
+            # whose window scratch alone exceeds the kernel budget)
+            lc = dict(lc)
+            if not skip_vals:
+                kq, vq = pend["rows"]
+                lc["k"] = lc["k"].at[rows, pos].set(kq)
+                lc["v"] = lc["v"].at[rows, pos].set(vq)
+            if pend["cols"] is not None and not skip_scales:
+                ks, vs = pend["cols"]
+                lc["k_s"] = lc["k_s"].at[rows, :, pos].set(ks)
+                lc["v_s"] = lc["v_s"].at[rows, :, pos].set(vs)
+            return lc
+
         from ..ops.kv_write_pallas import step_vmem_bytes
         budget = 10 * 2 ** 20
         for li, pend in enumerate(pendings):
@@ -897,13 +930,10 @@ class TransformerMoE:
                 b = pend["rows"][0].shape[0]
                 rows = jnp.arange(b)
             if pend["cols"] is None:
-                # float cache: deferred XLA row scatters
-                if not skip_vals:
-                    kq, vq = pend["rows"]
-                    lc = dict(lc)
-                    lc["k"] = lc["k"].at[rows, pos].set(kq)
-                    lc["v"] = lc["v"].at[rows, pos].set(vq)
-                    cache_list[li] = lc
+                # float cache: deferred XLA row scatters (the RMW
+                # kernel measured at parity there and its bf16 windows
+                # would double the batched scratch)
+                cache_list[li] = scatter(lc, pend)
                 continue
             rc = [] if skip_vals else [lc["k"], lc["v"]]
             rv = [] if skip_vals else list(pend["rows"])
@@ -911,18 +941,7 @@ class TransformerMoE:
             cv = [] if skip_scales else list(pend["cols"])
             nb = step_vmem_bytes(rc, cc)
             if nb > budget:
-                # one layer alone exceeds the kernel budget: XLA
-                # scatters for it
-                lc = dict(lc)
-                if not skip_vals:
-                    kq, vq = pend["rows"]
-                    lc["k"] = lc["k"].at[rows, pos].set(kq)
-                    lc["v"] = lc["v"].at[rows, pos].set(vq)
-                if not skip_scales:
-                    ks, vs = pend["cols"]
-                    lc["k_s"] = lc["k_s"].at[rows, :, pos].set(ks)
-                    lc["v_s"] = lc["v_s"].at[rows, :, pos].set(vs)
-                cache_list[li] = lc
+                cache_list[li] = scatter(lc, pend)
                 continue
             if group_bytes + nb > budget:
                 flush(group)

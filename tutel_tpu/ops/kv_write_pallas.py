@@ -176,11 +176,14 @@ def write_step(row_caches, rows, pos, col_caches=(), cols=(), *,
     kernel = functools.partial(_rmw_kernel, n_r=n_r, n_c=n_c, nb=b)
     caches = row_caches + col_caches
     fresh = rows + cols
-    # the caches pin to HBM explicitly (not ANY): with ANY, XLA's
-    # memory-space assignment pass may promote the aliased buffers to
-    # alternate memory, which inserts a full-cache bounce copy on BOTH
-    # sides of the kernel each step (measured ~3 ms/chunk at the 2k
-    # serving config — 30x the kernel's own cost)
+    # memory-space note (round 5, measured): with the pre-round-5 step
+    # structure (per-layer writes inside the attention dependency
+    # chain), XLA's memory-space assignment bounced the aliased caches
+    # through alternate memory (~3 ms/chunk of copies); pinning these
+    # specs to pltpu.HBM did NOT remove the bounce — restructuring the
+    # step did (fresh-token injection + one end-of-step batched write,
+    # models/transformer.py). ANY is kept: the pin measured no effect
+    # either way on the new structure.
     in_specs = (
         [pl.BlockSpec(memory_space=pl.ANY) for _ in caches]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)]        # pos vector

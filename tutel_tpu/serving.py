@@ -672,7 +672,9 @@ class LmDecodeEngine:
         # O(buckets) prefill variants instead of O(distinct lengths)
         # (the same no-recompile discipline as the variant cache /
         # attn_bucket; exactness argument in TransformerMoE.prefill's
-        # prompt_lens doc). 0 = exact-length grouping. The parallel
+        # prompt_lens doc). 0 = exact-length grouping. Auto-disabled
+        # when moe_overrides carries a capacity_factor (a capacity-
+        # limited prefill lets pad tokens displace real ones). The parallel
         # prefill already pads internally to its 64-position chunk, so
         # the default bucket adds no work it wasn't doing.
         self.prefill_bucket = int(prefill_bucket)
@@ -735,6 +737,13 @@ class LmDecodeEngine:
         # cache-row scatter per layer; mixed true lengths inside a
         # bucket ride the model's prompt_lens contract
         q = self.prefill_bucket
+        if q > 0 and "capacity_factor" in self.moe_overrides:
+            # a capacity-LIMITED prefill makes pad tokens compete with
+            # real prompt tokens for expert slots, breaking the
+            # bucketed == exact admission contract (the lossless
+            # per-chunk default cannot drop; an explicit
+            # capacity_factor can) — group by exact length instead
+            q = 0
         max_len = self.model.cfg.max_len
 
         def bucket(tp):
