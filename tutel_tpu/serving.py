@@ -869,10 +869,21 @@ class LmDecodeEngine:
         full aliased caches through alternate memory every step and
         msa_off won by ~1.1 ms/chunk; after fresh-token injection +
         the end-of-step batched write the bounce is gone and MSA's
-        weight prefetching wins by ~4 ms/chunk, so the default is ON."""
+        weight prefetching wins by ~4 ms/chunk. One residual ~31
+        MB/step cache bounce survives the restructure;
+        xla_msa_max_outstanding_prefetches=0 removes EVERY cache copy
+        from the HLO and measured ~1 ms/chunk faster than the stock
+        pipeline (16.56 vs 17.55 ms no-probe at kv8+GQA), so that is
+        the quantized-KV default. TUTEL_TPU_DECODE_MSA: "0" = MSA off
+        entirely, "1" = stock pipeline, unset = measured default."""
         import os
-        if os.environ.get("TUTEL_TPU_DECODE_MSA", "") == "0":
+        env = os.environ.get("TUTEL_TPU_DECODE_MSA", "")
+        if env == "0":
             return {"xla_msa_enable": "false"}
+        if env == "1":
+            return None
+        if getattr(self.model.cfg, "kv_bits", 0) in (8, 4):
+            return {"xla_msa_max_outstanding_prefetches": "0"}
         return None
 
     def _attn_len(self, n_steps: int) -> Optional[int]:
