@@ -877,6 +877,9 @@ class LmDecodeEngine:
         the quantized-KV default. TUTEL_TPU_DECODE_MSA: "0" = MSA off
         entirely, "1" = stock pipeline, unset = measured default."""
         import os
+        import jax as _jax
+        if _jax.default_backend() != "tpu":
+            return None          # MSA options exist only on the TPU compiler
         env = os.environ.get("TUTEL_TPU_DECODE_MSA", "")
         if env == "0":
             return {"xla_msa_enable": "false"}
