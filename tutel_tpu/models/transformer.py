@@ -1034,9 +1034,13 @@ class TransformerMoE:
                 x = x + (o + f["b2"]).astype(cfg.dtype)
         new_cache = self._flush_kv_writes(new_cache, pendings, pos)
         x = self._ln(params["final_ln"], x)
+        # same logits-dtype rule as `apply` (round 5): keeps the
+        # engine's decode argmax consistent with the full-forward
+        # oracle on TPU, and the [B, V] reduction reads half the bytes
+        pe = jnp.float32 if x.dtype == jnp.float32 else None
         logits = jnp.einsum("bd,vd->bv", x,
                             params["embed"].astype(x.dtype),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=pe)
         if capacity_probe:
             return logits, new_cache, l_aux_sum, needed_max
         return logits, new_cache, l_aux_sum
@@ -1289,9 +1293,10 @@ class TransformerMoE:
             hl = jnp.take_along_axis(
                 h_all, idx[:, None, None], axis=1)[:, 0]
         xl = self._ln(params["final_ln"], hl)
+        pe = jnp.float32 if xl.dtype == jnp.float32 else None
         logits = jnp.einsum("bd,vd->bv", xl,
                             params["embed"].astype(xl.dtype),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=pe)
         return logits, cache
 
     def loss(self, params, tokens, key=None, training=True,
