@@ -308,3 +308,111 @@ def test_pick_wc_accounts_for_scale_slabs():
     # LARGER windows than the bf16 one at big model_dim
     assert (pick_wc(2048, 4096, 1, nh=32, quantized=True)
             >= pick_wc(2048, 4096, 2, nh=32))
+
+
+# ---------------------------------------------------------------------------
+# Prefill flash attention (round 5)
+# ---------------------------------------------------------------------------
+
+def _ref_prefill_attn(q, rk, rv, start):
+    """Oracle: dense masked softmax over the dequantized window."""
+    b, tq, nh, hd = q.shape
+    kvh = rk.shape[2]
+    mq = nh // kvh
+    qg = q.reshape(b, tq, mq, kvh, hd)
+    s = jnp.einsum("bqmgd,bkgd->bmgqk", qg.astype(jnp.float32),
+                   rk.astype(jnp.float32)) * (hd ** -0.5)
+    w = rk.shape[1]
+    mask = (jnp.arange(w)[None, :]
+            <= (start + jnp.arange(tq))[:, None])
+    s = jnp.where(mask[None, None, None], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bmgqk,bkgd->bqmgd", p, rv.astype(jnp.float32))
+    return o.reshape(b, tq, nh, hd)
+
+
+def test_prefill_attn_float_oracle():
+    from tutel_tpu.ops.decode_attn_pallas import prefill_attn
+    rng = np.random.RandomState(0)
+    b, tq, nh, kvh, hd, t = 2, 8, 4, 2, 128, 64
+    q = jnp.asarray(rng.randn(b, tq, nh, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(b, t, kvh, hd), jnp.float32)
+    v = jnp.asarray(rng.randn(b, t, kvh, hd), jnp.float32)
+    for start in (0, 8, 40):
+        out = prefill_attn(q, k.reshape(b, t, -1), v.reshape(b, t, -1),
+                           start, attn_len=start + tq, wc=32,
+                           interpret=True)
+        wlen = -(-min(start + tq, t) // 16) * 16
+        ref = _ref_prefill_attn(q, k[:, :wlen], v[:, :wlen], start)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_prefill_attn_quantized_oracle():
+    from tutel_tpu.ops.decode_attn_pallas import prefill_attn
+    from tutel_tpu.models import TransformerMoE
+    rng = np.random.RandomState(1)
+    b, tq, nh, kvh, hd, t = 2, 8, 8, 2, 128, 256
+    q = jnp.asarray(rng.randn(b, tq, nh, hd), jnp.float32)
+    kf = rng.randn(b, t, kvh, hd).astype(np.float32)
+    vf = rng.randn(b, t, kvh, hd).astype(np.float32)
+
+    # kv8: quantize rows exactly as the model stores them
+    kq, ks = jax.vmap(TransformerMoE._kv_quantize, in_axes=1,
+                      out_axes=(1, 1))(jnp.asarray(kf))
+    vq, vs = jax.vmap(TransformerMoE._kv_quantize, in_axes=1,
+                      out_axes=(1, 1))(jnp.asarray(vf))
+    kq8 = kq.reshape(b, t, kvh * hd)
+    vq8 = vq.reshape(b, t, kvh * hd)
+    ks8 = ks.transpose(0, 2, 1)        # [B, kvh, T]
+    vs8 = vs.transpose(0, 2, 1)
+    start = 120
+    out = prefill_attn(q, kq8, vq8, start, k_scale=ks8, v_scale=vs8,
+                       attn_len=start + tq, kv_bits=8, wc=128,
+                       interpret=True)
+    rk = (kq.astype(jnp.float32)
+          * ks[..., None])             # [B, T, kvh, hd] dequant
+    rv = vq.astype(jnp.float32) * vs[..., None]
+    ref = _ref_prefill_attn(q, rk[:, :128], rv[:, :128], start)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # kv4: split-half packed via the model's own quantizer
+    kq4, ks4 = jax.vmap(TransformerMoE._kv_quantize4, in_axes=1,
+                        out_axes=(1, 1))(jnp.asarray(kf))
+    vq4, vs4 = jax.vmap(TransformerMoE._kv_quantize4, in_axes=1,
+                        out_axes=(1, 1))(jnp.asarray(vf))
+    out4 = prefill_attn(q, kq4, vq4, start,
+                        k_scale=ks4.transpose(0, 2, 1),
+                        v_scale=vs4.transpose(0, 2, 1),
+                        attn_len=start + tq, kv_bits=4, wc=128,
+                        interpret=True)
+    rk4 = TransformerMoE._kv_dequant4(kq4, ks4.transpose(0, 2, 1),
+                                      kvh, hd, 128)
+    rv4 = TransformerMoE._kv_dequant4(vq4, vs4.transpose(0, 2, 1),
+                                      kvh, hd, 128)
+    ref4 = _ref_prefill_attn(q, rk4, rv4, start)
+    np.testing.assert_allclose(np.asarray(out4), np.asarray(ref4),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_prefill_attn_traced_start():
+    """start rides scalar prefetch: the kernel must work under a scan
+    whose chunk offset is a traced int32 (the prefill's form)."""
+    from tutel_tpu.ops.decode_attn_pallas import prefill_attn
+    rng = np.random.RandomState(2)
+    b, tq, nh, hd, t = 1, 8, 2, 128, 64
+    q = jnp.asarray(rng.randn(b, tq, nh, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(b, t, nh, hd), jnp.float32)
+    v = jnp.asarray(rng.randn(b, t, nh, hd), jnp.float32)
+
+    def f(start):
+        return prefill_attn(q, k.reshape(b, t, -1),
+                            v.reshape(b, t, -1), start,
+                            attn_len=t, wc=32, interpret=True)
+
+    outs = jax.lax.map(f, jnp.asarray([0, 8, 16], jnp.int32))
+    for i, start in enumerate((0, 8, 16)):
+        ref = _ref_prefill_attn(q, k, v, start)
+        np.testing.assert_allclose(np.asarray(outs[i]), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)

@@ -149,7 +149,7 @@ def test_seqpar_example_runs():
     import argparse
     from tutel_tpu.examples import seqpar_lm as ex
     losses = ex.run(argparse.Namespace(
-        batch=2, seq_len=33, model_dim=32, num_heads=8, num_layers=2,
+        batch=2, seq_len=32, model_dim=32, num_heads=8, num_layers=2,
         experts_per_device=1, steps=3, lr=1e-3, device="cpu",
         attn="ulysses", num_kv_heads=0),
         log=lambda *a, **k: None)
@@ -157,7 +157,7 @@ def test_seqpar_example_runs():
     # ring mode in the layout Ulysses cannot run (GQA, 4 heads on 8
     # devices)
     losses = ex.run(argparse.Namespace(
-        batch=2, seq_len=33, model_dim=32, num_heads=4, num_layers=2,
+        batch=2, seq_len=32, model_dim=32, num_heads=4, num_layers=2,
         experts_per_device=1, steps=2, lr=1e-3, device="cpu",
         attn="ring", num_kv_heads=2),
         log=lambda *a, **k: None)

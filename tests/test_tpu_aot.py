@@ -528,3 +528,51 @@ def test_decode_attn_int8_kv_mosaic_compiles():
         _spec((b, nh, t), jnp.float32, rep),
         _spec((b,), jnp.int32, rep)).compile().as_text()
     assert "tpu_custom_call" in txt, "Mosaic kernel was not emitted"
+
+
+def test_prefill_attn_mosaic_compiles():
+    """The flash prefill-attention kernel (round 5) lowers through
+    Mosaic for v5e at the serving sizes, in all three cache forms —
+    bf16, INT8 (+scale slabs), and the INT4 nibble-split pair of
+    calls — with the chunk offset TRACED (the prefill scan's form;
+    interpret mode missed a real block-spec violation here once, so
+    the real lowering is load-bearing)."""
+    from tutel_tpu.ops import decode_attn_pallas as dap
+    rep = _replicated(_topology("v5e:2x4"))
+    b, tq, nh, kvh, hd, t = 64, 128, 8, 2, 128, 2048
+
+    def f8(q, k, v, ks, vs, start):
+        return dap.prefill_attn(q, k, v, start, k_scale=ks, v_scale=vs,
+                                attn_len=1792, kv_bits=8)
+
+    txt = jax.jit(f8).lower(
+        _spec((b, tq, nh, hd), jnp.bfloat16, rep),
+        _spec((b, t, kvh * hd), jnp.int8, rep),
+        _spec((b, t, kvh * hd), jnp.int8, rep),
+        _spec((b, kvh, t), jnp.float32, rep),
+        _spec((b, kvh, t), jnp.float32, rep),
+        _spec((), jnp.int32, rep)).compile().as_text()
+    assert "tpu_custom_call" in txt
+
+    def f4(q, k, v, ks, vs, start):
+        return dap.prefill_attn(q, k, v, start, k_scale=ks, v_scale=vs,
+                                attn_len=1792, kv_bits=4)
+
+    txt = jax.jit(f4).lower(
+        _spec((b, tq, nh, hd), jnp.bfloat16, rep),
+        _spec((b, t, kvh * hd // 2), jnp.int8, rep),
+        _spec((b, t, kvh * hd // 2), jnp.int8, rep),
+        _spec((b, kvh, t), jnp.float32, rep),
+        _spec((b, kvh, t), jnp.float32, rep),
+        _spec((), jnp.int32, rep)).compile().as_text()
+    assert "tpu_custom_call" in txt
+
+    def ff(q, k, v, start):
+        return dap.prefill_attn(q, k, v, start, attn_len=1792)
+
+    txt = jax.jit(ff).lower(
+        _spec((b, tq, nh, hd), jnp.bfloat16, rep),
+        _spec((b, t, nh * hd), jnp.bfloat16, rep),
+        _spec((b, t, nh * hd), jnp.bfloat16, rep),
+        _spec((), jnp.int32, rep)).compile().as_text()
+    assert "tpu_custom_call" in txt

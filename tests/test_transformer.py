@@ -161,3 +161,50 @@ def test_parallel_prefill_matches_scan_prefill():
                     np.asarray(a[k][sl], np.float32),
                     rtol=2e-4, atol=2e-4,
                     err_msg=f"kv_bits={kv_bits} cache[{k}]")
+
+
+def test_prefill_kernel_matches_xla_chain(monkeypatch):
+    """The flash prefill kernel (round 5) through the WHOLE parallel
+    prefill — segmented windows, cache writes, MoE chunks — must match
+    the XLA einsum chain for float, kv8, and kv4 caches (interpret
+    mode; head_dim=128 to satisfy the kernel tiling)."""
+    import numpy as np
+    from tutel_tpu.models import TransformerMoE, TransformerMoEConfig
+    rng = np.random.RandomState(0)
+    for kv_bits, kvh in ((0, 0), (8, 2), (4, 2)):
+        cfg = TransformerMoEConfig(
+            vocab_size=97, max_len=256, model_dim=512, num_heads=4,
+            num_kv_heads=kvh, num_layers=2, ffn_hidden=128,
+            moe_every=2, num_local_experts=2, top_k=2,
+            capacity_factor=0.0, expert_hidden=64, kv_bits=kv_bits)
+        model = TransformerMoE(cfg, group=jax.devices()[:1])
+        params = model.init(jax.random.PRNGKey(0))
+        prompts = jnp.asarray(rng.randint(0, 97, (2, 200)), jnp.int32)
+
+        monkeypatch.setenv("TUTEL_TPU_PREFILL_ATTN", "0")
+        lg_xla, c_xla = model.prefill(params, prompts,
+                                      model.init_cache(2))
+        monkeypatch.setenv("TUTEL_TPU_PREFILL_ATTN", "1")
+        lg_k, c_k = model.prefill(params, prompts, model.init_cache(2))
+        np.testing.assert_allclose(np.asarray(lg_k), np.asarray(lg_xla),
+                                   rtol=3e-4, atol=3e-4,
+                                   err_msg=f"kv_bits={kv_bits}")
+        # caches agree up to the quantization LSB (tiny float diffs in
+        # the attention output shift a handful of int8 roundings); the
+        # functional contract is that decode CONTINUES identically
+        tok = jnp.argmax(lg_xla, axis=-1).astype(jnp.int32)
+        pos = jnp.full((2,), 200, jnp.int32)
+        toks_k, toks_x = [], []
+        ck, cx, tk, tx = c_k, c_xla, tok, tok
+        for step in range(4):
+            lk, ck, _ = model.apply_decode(params, tk, ck,
+                                           pos + step)
+            lx, cx, _ = model.apply_decode(params, tx, cx,
+                                           pos + step)
+            tk = jnp.argmax(lk, axis=-1).astype(jnp.int32)
+            tx = jnp.argmax(lx, axis=-1).astype(jnp.int32)
+            toks_k.append(np.asarray(tk))
+            toks_x.append(np.asarray(tx))
+        np.testing.assert_array_equal(
+            np.stack(toks_k), np.stack(toks_x),
+            err_msg=f"kv_bits={kv_bits} decode continuation")

@@ -40,9 +40,10 @@ def run(args, log=print):
         assert args.num_heads % sp == 0, (
             f"num_heads={args.num_heads} must divide the {sp}-device "
             "mesh for Ulysses (pass --attn ring to lift the bound)")
-    assert (args.seq_len - 1) % sp == 0, (
-        f"seq_len-1={args.seq_len - 1} must divide the {sp}-device mesh "
-        "(the loss shards the shifted slice tokens[:, :-1])")
+    assert args.seq_len % sp == 0, (
+        f"seq_len={args.seq_len} must divide the {sp}-device mesh "
+        "(round 5: the loss runs the FULL sequence and shifts the "
+        "logits afterwards)")
 
     cfg = TransformerMoEConfig(
         vocab_size=256, max_len=args.seq_len, model_dim=args.model_dim,
@@ -67,7 +68,7 @@ def run(args, log=print):
     rng = np.random.RandomState(0)
     tokens = jnp.asarray(
         rng.randint(0, 256, (args.batch, args.seq_len)), jnp.int32)
-    cap = args.batch * (args.seq_len - 1)
+    cap = args.batch * args.seq_len
 
     def sp_loss(p, toks):
         loss, (nll, _aux) = sp_model.loss_seqpar(
@@ -105,7 +106,7 @@ def run(args, log=print):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=4)
-    p.add_argument("--seq_len", type=int, default=65)
+    p.add_argument("--seq_len", type=int, default=64)
     p.add_argument("--model_dim", type=int, default=64)
     p.add_argument("--num_heads", type=int, default=8)
     p.add_argument("--num_layers", type=int, default=4)

@@ -951,6 +951,36 @@ class TransformerMoE:
         flush(group)
         return cache_list
 
+    def _prefill_kernel_mode(self):
+        """'' = XLA einsum chain, 'native'/'interpret' = the prefill
+        flash kernel (ops/decode_attn_pallas.prefill_attn). Auto: on
+        TPU when the shapes satisfy its tiling (head_dim % 128; the
+        quantized scale slabs additionally need a 128-aligned cache
+        length, and kv4 an even KV-head count). TUTEL_TPU_PREFILL_ATTN
+        = '0' disables, '1' forces (interpret off-TPU)."""
+        import os
+        cfg = self.cfg
+        env = os.environ.get("TUTEL_TPU_PREFILL_ATTN", "")
+        if env == "0":
+            return ""
+        hd = cfg.model_dim // cfg.num_heads
+        ok = hd % 128 == 0
+        if cfg.kv_bits in (8, 4):
+            ok = ok and cfg.max_len % 128 == 0
+        if cfg.kv_bits == 4:
+            ok = ok and self._kvh % 2 == 0
+        if not ok:
+            if env == "1":
+                raise ValueError(
+                    "TUTEL_TPU_PREFILL_ATTN=1 but the model shapes "
+                    "don't satisfy the prefill kernel tiling "
+                    "(head_dim % 128; 128-aligned max_len for "
+                    "quantized caches; even KV heads for kv4)")
+            return ""
+        if jax.default_backend() == "tpu":
+            return "native"
+        return "interpret" if env == "1" else ""
+
     def _decode_count_fn(self, i: int, top_k):
         """Cached per-MoE-layer traced needed-capacity probe (see
         MOELayer.count_needed_traceable) for `apply_decode`'s
@@ -1146,6 +1176,7 @@ class TransformerMoE:
         if "capacity_factor" not in ov:
             ov["capacity_override"] = b * tc
         dus = jax.lax.dynamic_update_slice_in_dim
+        pk = self._prefill_kernel_mode()
 
         def chunk_step(cache, ci, *, read_len):
             start = ci * tc
@@ -1181,12 +1212,14 @@ class TransformerMoE:
                         start, 2)
                     # attend THROUGH the dequantized stored values, so
                     # prefill logits match the chained-decode numerics
-                    rk = self._kv_dequant4(
-                        lc["k"], lc["k_s"], kvh, hd,
-                        read_len).astype(x.dtype)
-                    rv = self._kv_dequant4(
-                        lc["v"], lc["v_s"], kvh, hd,
-                        read_len).astype(x.dtype)
+                    # (the kernel path dequantizes in VMEM instead)
+                    if not pk:
+                        rk = self._kv_dequant4(
+                            lc["k"], lc["k_s"], kvh, hd,
+                            read_len).astype(x.dtype)
+                        rv = self._kv_dequant4(
+                            lc["v"], lc["v_s"], kvh, hd,
+                            read_len).astype(x.dtype)
                 elif kv_q:
                     kq, ks = self._kv_quantize(
                         k.reshape(b * tc, kvh, hd))
@@ -1206,35 +1239,51 @@ class TransformerMoE:
                         start, 2)
                     # attend THROUGH the dequantized stored values, so
                     # prefill logits match the chained-decode numerics
-                    rk = (lc["k"][:, :read_len].reshape(
-                        b, read_len, kvh, hd).astype(jnp.float32)
-                          * lc["k_s"][:, :, :read_len].transpose(
-                              0, 2, 1)[..., None]).astype(x.dtype)
-                    rv = (lc["v"][:, :read_len].reshape(
-                        b, read_len, kvh, hd).astype(jnp.float32)
-                          * lc["v_s"][:, :, :read_len].transpose(
-                              0, 2, 1)[..., None]).astype(x.dtype)
+                    # (the kernel path dequantizes in VMEM instead)
+                    if not pk:
+                        rk = (lc["k"][:, :read_len].reshape(
+                            b, read_len, kvh, hd).astype(jnp.float32)
+                              * lc["k_s"][:, :, :read_len].transpose(
+                                  0, 2, 1)[..., None]).astype(x.dtype)
+                        rv = (lc["v"][:, :read_len].reshape(
+                            b, read_len, kvh, hd).astype(jnp.float32)
+                              * lc["v_s"][:, :, :read_len].transpose(
+                                  0, 2, 1)[..., None]).astype(x.dtype)
                 else:
                     lc["k"] = dus(lc["k"], k.reshape(b, tc, kvh * hd),
                                   start, 1)
                     lc["v"] = dus(lc["v"], v.reshape(b, tc, kvh * hd),
                                   start, 1)
-                    rk = lc["k"][:, :read_len].reshape(
-                        b, read_len, kvh, hd)
-                    rv = lc["v"][:, :read_len].reshape(
-                        b, read_len, kvh, hd)
+                    if not pk:
+                        rk = lc["k"][:, :read_len].reshape(
+                            b, read_len, kvh, hd)
+                        rv = lc["v"][:, :read_len].reshape(
+                            b, read_len, kvh, hd)
                 new_cache.append(lc)
-                qg = q.reshape(b, tc, mq, kvh, hd)
-                scores = jnp.einsum("bqmgd,bkgd->bmgqk", qg, rk,
-                                    preferred_element_type=jnp.float32)
-                scores = scores * (hd ** -0.5)
-                scores = jnp.where(mask[None, None, None], scores,
-                                   -1e30)
-                probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-                a = jnp.einsum("bmgqk,bkgd->bqmgd", probs, rv,
-                               preferred_element_type=jnp.float32
-                               ).astype(x.dtype)
-                a = a.reshape(b, tc, cfg.model_dim)
+                if pk:
+                    # streamed flash prefill: no [b, tc, W] score
+                    # materialization, quantized dequant in VMEM
+                    from ..ops.decode_attn_pallas import prefill_attn
+                    a = prefill_attn(
+                        q, lc["k"], lc["v"], start,
+                        k_scale=lc.get("k_s"), v_scale=lc.get("v_s"),
+                        attn_len=read_len, kv_bits=cfg.kv_bits,
+                        interpret=(pk == "interpret"))
+                    a = a.reshape(b, tc, cfg.model_dim)
+                else:
+                    qg = q.reshape(b, tc, mq, kvh, hd)
+                    scores = jnp.einsum(
+                        "bqmgd,bkgd->bmgqk", qg, rk,
+                        preferred_element_type=jnp.float32)
+                    scores = scores * (hd ** -0.5)
+                    scores = jnp.where(mask[None, None, None], scores,
+                                       -1e30)
+                    probs = jax.nn.softmax(scores,
+                                           axis=-1).astype(x.dtype)
+                    a = jnp.einsum("bmgqk,bkgd->bqmgd", probs, rv,
+                                   preferred_element_type=jnp.float32
+                                   ).astype(x.dtype)
+                    a = a.reshape(b, tc, cfg.model_dim)
                 a = jnp.einsum("btd,de->bte", a, block["wo"],
                                preferred_element_type=jnp.float32
                                ).astype(x.dtype)

@@ -404,3 +404,209 @@ def pick_wc(t, d, itemsize, nh=1, budget=VMEM_BUDGET_BYTES,
                                   kv_bits=kv_bits) <= budget:
             return wc
     return None
+
+
+# ---------------------------------------------------------------------------
+# Prefill (multi-query chunk) flash attention
+# ---------------------------------------------------------------------------
+
+def _prefill_attn_kernel(start_ref, qg_ref, k_ref, v_ref, *rest, wc,
+                         n_chunks, rows, mq, hd, scale, out_dtype,
+                         quantized, pack4, high_nibble, ng):
+    if quantized:
+        ks_ref, vs_ref, o_ref, acc_ref, m_ref, z_ref = rest
+    else:
+        o_ref, acc_ref, m_ref, z_ref = rest
+    g = pl.program_id(1)
+    j = pl.program_id(2)
+
+    def _scale_row(ref):
+        # the scale block spans ALL ng groups (Mosaic requires blocked
+        # dims divide by 8 or equal the array dim); pick this grid
+        # step's group row with a one-hot sublane reduction
+        sl = ref[0]                                    # [ng, wc]
+        if ng == 1:
+            return sl
+        hit = (jax.lax.broadcasted_iota(jnp.int32, (ng, wc), 0)
+               == g).astype(sl.dtype)
+        return jnp.sum(sl * hit, axis=0, keepdims=True)  # [1, wc]
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        z_ref[...] = jnp.zeros_like(z_ref)
+
+    compute_t = qg_ref.dtype
+    if pack4:
+        # the group's hd values sit in ONE nibble of a contiguous
+        # hd- (or hd/2-) wide byte block of the split-half layout;
+        # high_nibble(g) was resolved on the host into the grid
+        kv = k_ref[0].astype(jnp.int32)
+        kslab = ((kv >> 4) if high_nibble else ((kv << 28) >> 28)
+                 ).astype(compute_t)
+        vv = v_ref[0].astype(jnp.int32)
+        vslab = ((vv >> 4) if high_nibble else ((vv << 28) >> 28)
+                 ).astype(compute_t)
+    elif quantized:
+        kslab = k_ref[0].astype(compute_t)
+        vslab = v_ref[0].astype(compute_t)
+    else:
+        kslab = k_ref[0]
+        vslab = v_ref[0]
+
+    # scores [rows, wc]: rows = tq*mq group-major queries, contraction
+    # over hd only — no block-diagonal packing needed (enough query
+    # rows to fill the MXU), so no kvh-fold FLOP waste
+    s = jax.lax.dot_general(
+        qg_ref[0, 0], kslab, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    if quantized:
+        s = s * _scale_row(ks_ref)                     # [1, wc] bcast
+    # causal mask by GLOBAL position: query row r sits at
+    # start + r // mq; window position = j*wc + lane
+    qpos = (start_ref[0]
+            + jax.lax.broadcasted_iota(jnp.int32, (rows, wc), 0) // mq)
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, wc), 1) + j * wc
+    live = t_iota <= qpos
+    s = jnp.where(live, s, -1e30)
+
+    m_old = m_ref[...]
+    m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+    corr = jnp.exp(m_old - m_new)
+    e = jnp.exp(s - m_new)
+    e = jnp.where(live, e, 0.0)
+    m_ref[...] = m_new
+    z_ref[...] = z_ref[...] * corr + jnp.sum(e, axis=1, keepdims=True)
+    ev = e * _scale_row(vs_ref) if quantized else e
+    d = jax.lax.dot_general(
+        ev.astype(compute_t), vslab, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [rows, hd]
+    acc_ref[...] = acc_ref[...] * corr + d
+
+    @pl.when(j == n_chunks - 1)
+    def _finalize():
+        z = jnp.maximum(z_ref[...], 1e-30)
+        o_ref[0, 0] = (acc_ref[...] / z).astype(out_dtype)
+
+
+def prefill_attn(q, k, v, start, *, k_scale=None, v_scale=None,
+                 attn_len=None, wc=1024, kv_bits=8, interpret=False):
+    """Chunk-parallel prefill attention over the cache prefix.
+
+    out[b, t, h] = softmax_{p <= start + t}(q[b, t, h] . K[b, p, g(h)]
+                   * hd^-0.5) . V[b, :, g(h)]        (g(h) = h % KVH)
+
+    The XLA einsum chain materializes the [B, tc, W] score/softmax
+    tensors (the dominant prefill cost after the round-5 window
+    segmentation); this kernel streams the K/V window per
+    (batch row, KV group) with an online softmax — the prefill
+    counterpart of `decode_attn`, sharing its quantized-cache
+    conventions (INT8: per-(head, pos) scales folded into the
+    score/softmax tiles; INT4: split-half nibble slab — each group's
+    hd values sit in ONE nibble of a contiguous byte block, so the
+    grid splits into a low-nibble and a high-nibble call). Unlike the
+    decode kernel there is no block-diagonal packing: a chunk brings
+    tq*mq query rows per group, enough to fill the MXU with a plain
+    hd-contraction (no kvh-fold FLOP waste). `start` may be TRACED
+    (the prefill scan's chunk offset) — it rides scalar prefetch.
+
+    Args:
+      q: [B, TQ, NH, HD] chunk queries at global positions start + t.
+      k, v: cache slabs as stored — [B, T, KVH*HD] (float or int8) or
+        [B, T, KVH*HD//2] (kv_bits=4 packed; KVH must be even).
+      start: int32 scalar, the chunk's global offset.
+      k_scale, v_scale: [B, KVH, T] f32 for quantized caches.
+      attn_len: static read bound (>= start + TQ; None = T).
+    Returns:
+      [B, TQ, NH, HD] in q.dtype.
+    """
+    bsz, tq, nh, hd = q.shape
+    quantized = k_scale is not None
+    pack4 = quantized and kv_bits == 4
+    t = k.shape[1]
+    kvh = k_scale.shape[1] if quantized else k.shape[2] // hd
+    mq = nh // kvh
+    rows = tq * mq
+    if pack4 and kvh % 2:
+        raise NotImplementedError("prefill_attn: kv4 needs even KVH")
+    align = 128 if quantized else 16
+    w = t if attn_len is None else min(int(attn_len), t)
+    w = min(-(-w // align) * align, t)
+    wc = min(wc, w)
+    if w % wc:
+        wc = next(c for c in range(wc - wc % align, 0, -align)
+                  if w % c == 0)
+    n_chunks = w // wc
+
+    # group-major query layout: head h = j*kvh + g -> group g, slot j
+    qg = q.reshape(bsz, tq, mq, kvh, hd).transpose(0, 3, 1, 2, 4)
+    qg = qg.reshape(bsz, kvh, rows, hd)
+
+    kvh2 = kvh // 2 if pack4 else kvh
+    if pack4:
+        kv_spec = pl.BlockSpec((1, wc, hd),
+                               lambda b, g, j, start: (b, j, g))
+    else:
+        kv_spec = pl.BlockSpec((1, wc, hd),
+                               lambda b, g, j, start: (b, j, g))
+
+    def call(high_nibble, ng, k_, v_, ks_, vs_, qg_):
+        kernel = functools.partial(
+            _prefill_attn_kernel, wc=wc, n_chunks=n_chunks, rows=rows,
+            mq=mq, hd=hd, scale=hd ** -0.5, out_dtype=q.dtype,
+            quantized=quantized, pack4=pack4,
+            high_nibble=high_nibble, ng=ng)
+        in_specs = [
+            pl.BlockSpec((1, 1, rows, hd),
+                         lambda b, g, j, start: (b, g, 0, 0)),
+            kv_spec,
+            kv_spec,
+        ]
+        args = [qg_, k_, v_]
+        if quantized:
+            in_specs += [
+                pl.BlockSpec((1, ng, wc),
+                             lambda b, g, j, start: (b, 0, j)),
+                pl.BlockSpec((1, ng, wc),
+                             lambda b, g, j, start: (b, 0, j)),
+            ]
+            args += [ks_, vs_]
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(bsz, ng, n_chunks),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec(
+                    (1, 1, rows, hd),
+                    lambda b, g, j, start: (b, g, 0, 0)),
+                scratch_shapes=[
+                    pltpu.VMEM((rows, hd), jnp.float32),
+                    pltpu.VMEM((rows, 1), jnp.float32),
+                    pltpu.VMEM((rows, 1), jnp.float32),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((bsz, ng, rows, hd), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel",
+                                     "arbitrary")),
+            interpret=interpret,
+        )(jnp.asarray(start, jnp.int32).reshape(1), *args)
+
+    ksf = k_scale.astype(jnp.float32) if quantized else None
+    vsf = v_scale.astype(jnp.float32) if quantized else None
+    if not pack4:
+        out = call(False, kvh, k, v, ksf, vsf, qg)
+    else:
+        # split-half packing: groups [0, kvh/2) live in low nibbles of
+        # byte blocks [g*hd, (g+1)*hd), groups [kvh/2, kvh) in the high
+        # nibbles of the same blocks — one call per nibble
+        lo = call(False, kvh2, k, v, ksf[:, :kvh2], vsf[:, :kvh2],
+                  qg[:, :kvh2])
+        hi = call(True, kvh2, k, v, ksf[:, kvh2:], vsf[:, kvh2:],
+                  qg[:, kvh2:])
+        out = jnp.concatenate([lo, hi], axis=1)
+    # [B, kvh, tq*mq, hd] -> [B, tq, nh, hd]
+    out = out.reshape(bsz, kvh, tq, mq, hd).transpose(0, 2, 3, 1, 4)
+    return out.reshape(bsz, tq, nh, hd)
