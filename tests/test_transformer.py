@@ -208,3 +208,23 @@ def test_prefill_kernel_matches_xla_chain(monkeypatch):
         np.testing.assert_array_equal(
             np.stack(toks_k), np.stack(toks_x),
             err_msg=f"kv_bits={kv_bits} decode continuation")
+
+
+def test_scan_prefill_works_for_bf16_models():
+    """Round-5 review finding: the parallel=False scan oracle's logits
+    carry must match apply_decode's logits dtype (bf16 for bf16
+    models under the model-dtype rule) — it crashed with a scan carry
+    type mismatch."""
+    from tutel_tpu.models import TransformerMoE, TransformerMoEConfig
+    cfg = TransformerMoEConfig(
+        vocab_size=61, max_len=32, model_dim=32, num_heads=2,
+        num_layers=2, ffn_hidden=64, moe_every=2, num_local_experts=2,
+        top_k=1, capacity_factor=8.0, expert_hidden=64,
+        dtype=jnp.bfloat16)
+    model = TransformerMoE(cfg, group=jax.devices()[:1])
+    params = model.init(jax.random.PRNGKey(0))
+    prompts = jnp.asarray([[5, 9, 2, 11]], jnp.int32)
+    lg, cache = model.prefill(params, prompts, model.init_cache(1),
+                              parallel=False)
+    assert lg.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(lg, np.float32)).all()

@@ -964,7 +964,7 @@ class TransformerMoE:
         if env == "0":
             return ""
         hd = cfg.model_dim // cfg.num_heads
-        ok = hd % 128 == 0
+        ok = hd % 128 == 0 and cfg.max_len % 16 == 0
         if cfg.kv_bits in (8, 4):
             ok = ok and cfg.max_len % 128 == 0
         if cfg.kv_bits == 4:
@@ -1135,14 +1135,15 @@ class TransformerMoE:
                 moe_overrides=moe_overrides, attn_len=tp)
             return (cache, logits), None
 
+        ldt = (jnp.float32 if self.cfg.dtype == jnp.float32
+               else self.cfg.dtype)     # apply_decode's logits dtype
         (cache, logits), _ = jax.lax.scan(
-            step, (cache, jnp.zeros((b, self.cfg.vocab_size),
-                                    jnp.float32)),
+            step, (cache, jnp.zeros((b, self.cfg.vocab_size), ldt)),
             jnp.arange(tp))
         return logits, cache
 
     def _prefill_parallel(self, params, prompts, cache, key,
-                          moe_overrides, tc: int = 64,
+                          moe_overrides, tc: int = 128,
                           prompt_lens=None):
         """Chunked-parallel prefill: a lax.scan over position chunks of
         `tc`. Each chunk runs ONE causal attention pass (its queries
@@ -1319,7 +1320,7 @@ class TransformerMoE:
         hs_parts = []
         ci0 = 0
         for si in range(nseg):
-            ce = -(-n_chunks * (si + 1)) // nseg
+            ce = n_chunks * (si + 1) // nseg
             if ce <= ci0:
                 continue
             w = min(tp_pad, -(-(ce * tc) // 128) * 128)

@@ -411,7 +411,7 @@ def pick_wc(t, d, itemsize, nh=1, budget=VMEM_BUDGET_BYTES,
 # ---------------------------------------------------------------------------
 
 def _prefill_attn_kernel(start_ref, qg_ref, k_ref, v_ref, *rest, wc,
-                         n_chunks, rows, mq, hd, scale, out_dtype,
+                         n_chunks, rows, mq, scale, out_dtype,
                          quantized, pack4, high_nibble, ng):
     if quantized:
         ks_ref, vs_ref, o_ref, acc_ref, m_ref, z_ref = rest
@@ -531,6 +531,10 @@ def prefill_attn(q, k, v, start, *, k_scale=None, v_scale=None,
     if pack4 and kvh % 2:
         raise NotImplementedError("prefill_attn: kv4 needs even KVH")
     align = 128 if quantized else 16
+    assert t % align == 0, (
+        f"cache length {t} must be {align}-aligned for prefill_attn "
+        "(the window clips to the cache length, which must then "
+        "divide into aligned chunks)")
     w = t if attn_len is None else min(int(attn_len), t)
     w = min(-(-w // align) * align, t)
     wc = min(wc, w)
@@ -544,17 +548,16 @@ def prefill_attn(q, k, v, start, *, k_scale=None, v_scale=None,
     qg = qg.reshape(bsz, kvh, rows, hd)
 
     kvh2 = kvh // 2 if pack4 else kvh
-    if pack4:
-        kv_spec = pl.BlockSpec((1, wc, hd),
-                               lambda b, g, j, start: (b, j, g))
-    else:
-        kv_spec = pl.BlockSpec((1, wc, hd),
-                               lambda b, g, j, start: (b, j, g))
+    # one spec serves both layouts: each group's hd values live in a
+    # contiguous hd-wide block — byte block g of the packed kv4 slab
+    # (one nibble per half), value block g otherwise
+    kv_spec = pl.BlockSpec((1, wc, hd),
+                           lambda b, g, j, start: (b, j, g))
 
     def call(high_nibble, ng, k_, v_, ks_, vs_, qg_):
         kernel = functools.partial(
             _prefill_attn_kernel, wc=wc, n_chunks=n_chunks, rows=rows,
-            mq=mq, hd=hd, scale=hd ** -0.5, out_dtype=q.dtype,
+            mq=mq, scale=hd ** -0.5, out_dtype=q.dtype,
             quantized=quantized, pack4=pack4,
             high_nibble=high_nibble, ng=ng)
         in_specs = [
